@@ -1,0 +1,70 @@
+"""Headline benchmark: 720p 8x foveated-SR streaming throughput per chip.
+
+Protocol mirrors the reference latency harness
+(/root/reference/test_runtime.py:84-99, 142-186): synthetic inputs,
+batch 1, warm-up reps then averaged steady-state timing of the stateful
+per-frame step (flow + encoders + 4 DCN stages + reconstruction).
+Here: LR 90x160 -> 720x1280 output (720p), fovea 96x96.
+
+Prints ONE JSON line. vs_baseline is frames/sec divided by the 30 fps
+real-time bar from BASELINE.md (the reference publishes no numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from crfp_tpu.models import CRFP, ModelConfig, StreamingRunner
+
+    cfg = ModelConfig(variant="v18", mid_channels=32)
+    model = CRFP(cfg)
+    h, w, s = 90, 160, cfg.scale
+    rng = np.random.default_rng(0)
+
+    lr = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    fv = jnp.asarray(rng.uniform(0, 1, (1, h * s, w * s, 3)), jnp.float32)
+    mk = np.zeros((1, h * s, w * s, 1), np.float32)
+    mk[:, 312:408, 592:688] = 1.0  # 96x96 fovea at center
+    mk = jnp.asarray(mk)
+
+    init_params = jax.jit(
+        lambda k: model.init(k, lr[:, None], fv[:, None], mk[:, None])
+    )
+    params = init_params(jax.random.PRNGKey(0))
+
+    runner = StreamingRunner(model, params)
+    # warm-up: compile step0 + step, then settle
+    runner(lr, fv, mk)
+    for _ in range(10):
+        out = runner(lr, fv, mk)
+    jax.block_until_ready(out)
+
+    reps = 30
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = runner(lr, fv, mk)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    fps = 1.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "720p_8x_foveated_sr_streaming",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

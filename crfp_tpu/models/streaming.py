@@ -1,0 +1,80 @@
+"""Stateful frame-by-frame inference over the shared CRFP step.
+
+Replaces the reference's dedicated CRFP_test model file: there the hidden
+state lives in module attributes (`self.feat_prop_lv3`, `self.pre_lrs`,
+/root/reference/model/CRFP_test.py:2131-2135, 2438-2441) and
+``clear_states()`` resets between clips
+(/root/reference/model/CRFP_test.py:2473-2478). Here the state is an
+explicit pytree held by the runner; the compute is the SAME jitted
+``step``/``step0`` used by the batch forward, so batch and streaming
+cannot drift apart.
+
+The first call after a reset takes the cold-start path (the reference
+bootstraps flow by duplicating frame 0 but still routes through its
+state-less branch — identical math).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from crfp_tpu.models.crfp import CRFP
+
+
+class StreamingRunner:
+    """Holds (model, params) and per-clip recurrent state on the host."""
+
+    def __init__(self, model: CRFP, params: Any, use_fg: bool = False, donate: bool = True):
+        self.model = model
+        self.params = params
+        self.use_fg = use_fg
+        self._state: Any = None
+        self._pre_lr: jax.Array | None = None
+
+        def first(params, lr, fv, mk):
+            def fwd(mdl):
+                x_lr, x_hr = mdl.encode_frame(lr, fv, mk)
+                return mdl.step0(lr, x_lr, x_hr, mk)
+
+            return model.apply(params, method=fwd)
+
+        def nxt(params, state, pre_lr, lr, fv, mk, fg):
+            def fwd(mdl):
+                flow = mdl.compute_flow(lr, pre_lr)
+                x_lr, x_hr = mdl.encode_frame(lr, fv, mk)
+                return mdl.step(state, lr, x_lr, x_hr, mk, flow,
+                                fg if use_fg else None)
+
+            return model.apply(params, method=fwd)
+
+        # donate the recurrent state so the 8h x 8w buffer updates in place
+        self._first = jax.jit(first)
+        self._next = jax.jit(nxt, donate_argnums=(1,) if donate else ())
+
+    def clear_states(self) -> None:
+        self._state = None
+        self._pre_lr = None
+
+    def __call__(
+        self,
+        lr: jax.Array,
+        fv: jax.Array,
+        mk: jax.Array,
+        fg: jax.Array | None = None,
+    ) -> jax.Array:
+        """One frame in, one 8x frame out. All NHWC, batch dim included."""
+        if fg is None and self.use_fg:
+            fg = jnp.ones((*mk.shape[:3], 1), lr.dtype)
+        if self._state is None:
+            self._state, out = self._first(self.params, lr, fv, mk)
+        else:
+            self._state, out = self._next(
+                self.params, self._state, self._pre_lr, lr, fv, mk,
+                fg if self.use_fg else jnp.zeros((1,), lr.dtype),
+            )
+        self._pre_lr = lr
+        return out

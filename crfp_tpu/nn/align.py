@@ -1,0 +1,109 @@
+"""Flow-guided deformable alignment unit (the reference's DCN_module).
+
+Mirrors /root/reference/model/CRFP.py:281-370: concat(cur, warped_prev,
+flow) -> 2-conv block -> zero-init offset head (``max_mag * tanh``) +
+zero-init sigmoid mask head; the offset residual is added to the flipped
+flow broadcast per tap; the DCN weight is identity-initialized. ``repeat``
+mode emits one (dy,dx) pair broadcast to all k^2 taps (used by the HR-level
+dcn_3 with one deformable group, /root/reference/model/CRFP.py:341-347).
+``pre_offset`` fuses the previous stage's offset feature, optionally
+PixelShuffle-upsampled x4 and doubled when crossing resolutions
+(/root/reference/model/CRFP.py:333-336).
+
+Offsets are handed to :func:`crfp_tpu.ops.dcn.deform_conv2d` in structured
+(N,H,W,G,K2,2) form — the packed-channel torch layouts are documented in
+crfp_tpu/ops/dcn.py and in the weight converter.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from crfp_tpu.nn.layers import Conv, PixelShufflePack, lrelu
+from crfp_tpu.ops.dcn import deform_conv2d
+from crfp_tpu.ops.resize import upsample as bilinear_upsample
+
+
+def _identity_kernel_init(key, shape, dtype=jnp.float32):
+    kh, kw, cin, cout = shape
+    w = jnp.zeros(shape, dtype)
+    idx = jnp.arange(min(cin, cout))
+    return w.at[kh // 2, kw // 2, idx, idx].set(1.0)
+
+
+class DCNAlign(nn.Module):
+    mid_channels: int
+    deform_groups: int = 8
+    kernel: int = 3
+    max_residue_magnitude: float = 10.0
+    repeat: bool = False
+    pre_offset: bool = False
+    interpolate: str = "none"  # 'none' | 'bilinear' | 'pixelshuffle'
+    offset_only: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        cur_x: jax.Array,
+        pre_x: jax.Array,
+        pre_x_aligned: jax.Array,
+        flow: jax.Array,
+        pre_offset_feat: jax.Array | None = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Returns (aligned pre_x, offset feature for propagation).
+
+        flow is NHWC with channels (dx, dy) at the resolution of cur_x.
+        """
+        m = self.mid_channels
+        g = self.deform_groups
+        k = self.kernel
+        k2 = k * k
+        if self.repeat:
+            assert g == 1, "repeat mode is only well-defined for one deform group"
+
+        feat = jnp.concatenate([cur_x, pre_x_aligned, flow], axis=-1)
+        feat = lrelu(Conv(m, name="dcn_block_conv1")(feat))
+        feat = lrelu(Conv(m, name="dcn_block_conv2")(feat))
+
+        if pre_offset_feat is not None:
+            assert self.pre_offset
+            if self.interpolate == "pixelshuffle":
+                pre_offset_feat = PixelShufflePack(m, 4, 3, name="upsample")(pre_offset_feat) * 2.0
+            elif self.interpolate == "bilinear":
+                pre_offset_feat = bilinear_upsample(pre_offset_feat, 4) * 2.0
+            feat = lrelu(
+                Conv(m, name="conv_fuse")(jnp.concatenate([feat, pre_offset_feat], axis=-1))
+            )
+
+        zero = nn.initializers.zeros
+        n, h, w, _ = feat.shape
+        if self.repeat:
+            raw = Conv(g * 2, kernel_init=zero, bias_init=zero, name="dcn_offset")(feat)
+            raw = self.max_residue_magnitude * jnp.tanh(raw)
+            # torch packs repeat offsets as [y*g..., x*g...]; g == 1 here
+            off = raw.reshape(n, h, w, 2, g).transpose(0, 1, 2, 4, 3)  # (n,h,w,g,2)
+            off = off.at[..., 0].add(flow[..., 1][..., None])
+            off = off.at[..., 1].add(flow[..., 0][..., None])
+            off = jnp.broadcast_to(off[:, :, :, :, None, :], (n, h, w, g, k2, 2))
+            if self.offset_only:
+                mask = Conv(g * k2, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
+                mask = jax.nn.sigmoid(mask).reshape(n, h, w, g, k2)
+            else:
+                mask = Conv(g, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
+                mask = jax.nn.sigmoid(mask)[:, :, :, :, None]
+                mask = jnp.broadcast_to(mask, (n, h, w, g, k2))
+        else:
+            raw = Conv(g * 2 * k2, kernel_init=zero, bias_init=zero, name="dcn_offset")(feat)
+            raw = self.max_residue_magnitude * jnp.tanh(raw)
+            off = raw.reshape(n, h, w, g, k2, 2)
+            off = off.at[..., 0].add(flow[..., 1][..., None, None])
+            off = off.at[..., 1].add(flow[..., 0][..., None, None])
+            mask = Conv(g * k2, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
+            mask = jax.nn.sigmoid(mask).reshape(n, h, w, g, k2)
+
+        weight = self.param("dcn_weight", _identity_kernel_init, (k, k, m, m))
+        bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
+        aligned = deform_conv2d(pre_x, off, mask, weight, bias)
+        return aligned, feat

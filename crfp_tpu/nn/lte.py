@@ -1,0 +1,63 @@
+"""LTE (learnable texture extractor) encoders from TTSR, simplified.
+
+- ``LTESimpleLR``: two 3x3 convs + lrelu over the LR frame
+  (/root/reference/model/LTE.py:34-51).
+- ``LTESimpleHRSingle``: the same over the 6-channel concat of the
+  fovea-blended HR frame and the bicubic-upsampled LR
+  (/root/reference/model/LTE.py:100-117).
+- ``LTESimpleHRPS``: 4-level pyramid using PixelUnshuffle(4) for the CRA
+  variant (/root/reference/model/LTE.py:119-166).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+
+from crfp_tpu.nn.layers import Conv, lrelu
+from crfp_tpu.ops.shuffle import pixel_unshuffle
+
+
+class LTESimpleLR(nn.Module):
+    mid_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = lrelu(Conv(self.mid_channels, name="slice1_conv1")(x))
+        x = lrelu(Conv(self.mid_channels, name="slice1_conv2")(x))
+        return x
+
+
+class LTESimpleHRSingle(nn.Module):
+    mid_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = lrelu(Conv(self.mid_channels, name="slice1_conv1")(x))
+        x = lrelu(Conv(self.mid_channels, name="slice1_conv2")(x))
+        return x
+
+
+class LTESimpleHRPS(nn.Module):
+    """Returns (x_lv0, x_lv1, x_lv2, x_lv3): lv3 at full res with C=mid,
+    lv0..2 at 1/4 res with C=mid*4."""
+
+    mid_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        m = self.mid_channels
+        x = lrelu(Conv(m, name="slice1_conv1")(x))
+        x = lrelu(Conv(m, name="slice1_conv2")(x))
+        x_lv3 = lrelu(Conv(m, name="conv_lv3")(x))
+        x = pixel_unshuffle(x, 4)
+        x = lrelu(Conv(m * 4, name="slice2_conv1")(x))
+        x = lrelu(Conv(m * 4, name="slice2_conv2")(x))
+        x_lv2 = lrelu(Conv(m * 4, name="conv_lv2")(x))
+        x = lrelu(Conv(m * 4, name="slice3_conv1")(x))
+        x = lrelu(Conv(m * 4, name="slice3_conv2")(x))
+        x_lv1 = lrelu(Conv(m * 4, name="conv_lv1")(x))
+        x = lrelu(Conv(m * 4, name="slice4_conv1")(x))
+        x = lrelu(Conv(m * 4, name="slice4_conv2")(x))
+        x_lv0 = lrelu(Conv(m * 4, name="conv_lv0")(x))
+        return x_lv0, x_lv1, x_lv2, x_lv3

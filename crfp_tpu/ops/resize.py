@@ -28,6 +28,7 @@ import numpy as np
 @functools.lru_cache(maxsize=128)
 def _bilinear_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
     """(out_size, in_size) row-stochastic bilinear interpolation matrix."""
+    assert in_size > 0 and out_size > 0, (in_size, out_size)
     if in_size == out_size:
         return np.eye(in_size, dtype=np.float32)
     if align_corners:

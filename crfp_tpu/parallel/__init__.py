@@ -1,0 +1,3 @@
+from crfp_tpu.parallel.sharding import data_parallel_mesh, shard_batch, replicate
+
+__all__ = ["data_parallel_mesh", "shard_batch", "replicate"]

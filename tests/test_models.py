@@ -1,0 +1,86 @@
+"""Model trunk: shapes, batch-vs-streaming equivalence, gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crfp_tpu.models import CRFP, ModelConfig, StreamingRunner
+
+
+def _inputs(b=1, t=3, h=8, w=8, s=8, seed=0):
+    rng = np.random.default_rng(seed)
+    lrs = rng.uniform(0, 1, (b, t, h, w, 3)).astype(np.float32)
+    fvs = rng.uniform(0, 1, (b, t, h * s, w * s, 3)).astype(np.float32)
+    mks = np.zeros((b, t, h * s, w * s, 1), np.float32)
+    mks[:, :, 8:40, 8:40] = 1.0
+    return jnp.asarray(lrs), jnp.asarray(fvs), jnp.asarray(mks)
+
+
+@pytest.mark.parametrize("variant", ["v13", "v15", "v18"])
+def test_forward_shapes(variant):
+    cfg = ModelConfig(variant=variant, mid_channels=16)
+    model = CRFP(cfg)
+    lrs, fvs, mks = _inputs()
+    params = model.init(jax.random.PRNGKey(0), lrs, fvs, mks)
+    out = model.apply(params, lrs, fvs, mks)
+    assert out.shape == (1, 3, 64, 64, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("variant", ["v13", "v18"])
+def test_streaming_matches_batch(variant):
+    cfg = ModelConfig(variant=variant, mid_channels=16)
+    model = CRFP(cfg)
+    lrs, fvs, mks = _inputs(t=4)
+    params = model.init(jax.random.PRNGKey(1), lrs, fvs, mks)
+    batch_out = np.asarray(model.apply(params, lrs, fvs, mks))
+
+    runner = StreamingRunner(model, params, donate=False)
+    outs = []
+    for i in range(4):
+        outs.append(np.asarray(runner(lrs[:, i], fvs[:, i], mks[:, i])))
+    stream_out = np.stack(outs, axis=1)
+    np.testing.assert_allclose(stream_out, batch_out, atol=2e-5, rtol=1e-5)
+
+
+def test_clear_states_resets():
+    cfg = ModelConfig(variant="v18", mid_channels=16)
+    model = CRFP(cfg)
+    lrs, fvs, mks = _inputs(t=2, seed=3)
+    params = model.init(jax.random.PRNGKey(2), lrs, fvs, mks)
+    runner = StreamingRunner(model, params, donate=False)
+    a = np.asarray(runner(lrs[:, 0], fvs[:, 0], mks[:, 0]))
+    runner(lrs[:, 1], fvs[:, 1], mks[:, 1])
+    runner.clear_states()
+    b = np.asarray(runner(lrs[:, 0], fvs[:, 0], mks[:, 0]))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_y_only_output_channels():
+    cfg = ModelConfig(variant="v18", mid_channels=16, y_only=True)
+    model = CRFP(cfg)
+    lrs, fvs, mks = _inputs(t=2)
+    params = model.init(jax.random.PRNGKey(0), lrs, fvs, mks)
+    out = model.apply(params, lrs, fvs, mks)
+    assert out.shape[-1] == 1
+
+
+def test_gradients_flow_end_to_end():
+    cfg = ModelConfig(variant="v18", mid_channels=16, remat=True)
+    model = CRFP(cfg)
+    lrs, fvs, mks = _inputs(t=3)
+    params = model.init(jax.random.PRNGKey(0), lrs, fvs, mks)
+
+    def loss_fn(p):
+        out = model.apply(p, lrs, fvs, mks)
+        return jnp.mean(jnp.sqrt((out - fvs) ** 2 + 1e-12))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # the deformable alignment path must receive gradient
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    dcn_grads = [np.abs(np.asarray(v)).sum() for k, v in flat if "dcn_0" in str(k)]
+    assert sum(dcn_grads) > 0
