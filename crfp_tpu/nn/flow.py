@@ -29,6 +29,11 @@ class FNet(nn.Module):
     @nn.compact
     def __call__(self, x1: jax.Array, x2: jax.Array) -> jax.Array:
         n, h, w, _ = x1.shape
+        if min(h, w) < 8:
+            raise ValueError(
+                f"FNet needs input frames of at least 8x8 pixels (its encoder "
+                f"pools 3 times); got {h}x{w}. Use a larger GT_size/scale ratio."
+            )
         out = jnp.concatenate([x1, x2], axis=-1)
         for i, ch in enumerate((32, 64, 128)):
             out = jax.nn.relu(Conv(ch, name=f"encoder{i+1}_conv1")(out))
