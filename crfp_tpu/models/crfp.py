@@ -9,15 +9,25 @@ batch forward is ``step0`` + ``nn.scan(step)`` over time, and streaming
 applies the same ``step`` with a host-held state pytree — eliminating the
 triple maintenance while keeping the math of each variant exact:
 
-- variant 'v13'  == CRFP_simple      (/root/reference/model/CRFP.py:816-1099)
-- variant 'v15'  == CRFP             (/root/reference/model/CRFP.py:1101-1386)
-- variant 'v18'  == CRFP_DSV         (/root/reference/model/CRFP.py:1387-1706,
-                    the trained model, main.py:34) with the channel-split
-                    persistent state (split_ratio)
-- the streaming counterparts MRCF_simple_v13/v15/v18
-  (/root/reference/model/CRFP_test.py) are the same step with state carried
-  by the caller and optional regional-DCN ``fg`` gating
-  (/root/reference/model/CRFP_test.py:2347-2389).
+- 'v13'        == CRFP_simple       (/root/reference/model/CRFP.py:816-1099)
+- 'v15'        == CRFP              (/root/reference/model/CRFP.py:1101-1386)
+- 'v18'        == CRFP_DSV          (/root/reference/model/CRFP.py:1387-1706,
+                  the trained model, main.py:34) with the channel-split
+                  persistent state (split_ratio)
+- 'v18_cra'    == CRFP_DSV_CRA      (/root/reference/model/CRFP.py:2314-2665):
+                  v18 + LTE pyramid encoder + per-level texture blends
+- 'no_dcn'     == CRFP_simple_noDCN (/root/reference/model/CRFP.py:2000-2312):
+                  DCN stages replaced by plain conv blocks (hr_dcn=False is
+                  the reference's only working branch)
+- 'basic_fvsr' == BasicFVSR / MRCF_simple_v0
+                  (/root/reference/model/CRFP.py:1708-1998,
+                  /root/reference/model/CRFP_test.py:862-1181): fovea
+                  blended once at the input feature, four parallel states
+                  (hr_dcn=False is the reference's only working branch)
+
+The streaming counterparts MRCF_simple_* (/root/reference/model/CRFP_test.py)
+are the same step with state carried by the caller plus optional
+regional-DCN ``fg`` gating (/root/reference/model/CRFP_test.py:2347-2389).
 
 Inputs are NHWC: lrs (B,T,h,w,3), fvs (B,T,8h,8w,3), mks (B,T,8h,8w,1);
 output (B,T,8h,8w,3) (or 1 channel for y_only).
@@ -26,14 +36,13 @@ output (B,T,8h,8w,3) (or 1 channel for y_only).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from crfp_tpu.nn.align import DCNAlign
+from crfp_tpu.nn.align import DCNAlign, PlainAlign
 from crfp_tpu.nn.flow import FNet, SPyNet
 from crfp_tpu.nn.layers import (
     Conv,
@@ -42,17 +51,19 @@ from crfp_tpu.nn.layers import (
     ResidualBlocksWithInputConv,
     lrelu,
 )
-from crfp_tpu.nn.lte import LTESimpleHRSingle, LTESimpleLR
+from crfp_tpu.nn.lte import LTESimpleHR, LTESimpleHRPS, LTESimpleHRSingle, LTESimpleLR
 from crfp_tpu.ops.color import rgb2y
 from crfp_tpu.ops.resize import resize_bilinear, upsample
 from crfp_tpu.ops.warp import flow_warp
 
 State = dict[str, Any]
 
+VARIANTS = ("v13", "v15", "v18", "v18_cra", "no_dcn", "basic_fvsr")
+
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
-    variant: str = "v18"  # 'v13' | 'v15' | 'v18'
+    variant: str = "v18"
     mid_channels: int = 32
     scale: int = 8
     y_only: bool = False
@@ -79,34 +90,59 @@ class ModelConfig:
         """Per-level persistent state channels in the DSV split (v18)."""
         return (self.mid_channels * (4 - self.split_ratio)) // 4
 
+    @property
+    def is_dsv(self) -> bool:
+        return self.variant in ("v18", "v18_cra")
+
 
 class CRFP(nn.Module):
     cfg: ModelConfig
 
     def setup(self):
         cfg = self.cfg
-        assert cfg.variant in ("v13", "v15", "v18"), cfg.variant
-        if cfg.variant == "v18":
+        assert cfg.variant in VARIANTS, cfg.variant
+        if cfg.is_dsv:
             assert cfg.hr_dcn, "the DSV trunk always runs the HR-level DCN"
+        if cfg.variant in ("no_dcn", "basic_fvsr"):
+            # the reference's hr_dcn=True branches of these models reference
+            # undefined locals (CRFP.py:1895-1938, 2245-2247) — only the
+            # hr_dcn=False path ever ran
+            assert not cfg.hr_dcn, f"{cfg.variant} only supports hr_dcn=False"
         m, last = cfg.mid_channels, cfg.last_channels
         dg, dk, mag = cfg.deform_groups, cfg.dcn_kernel, cfg.max_residue_magnitude
 
         self.spynet = FNet() if cfg.flow_net == "fnet" else SPyNet()
 
-        self.dcn_0 = DCNAlign(m, dg, dk, mag)
-        self.dcn_1 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop)
-        self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop)
-        if cfg.hr_dcn:
-            self.dcn_3 = DCNAlign(
-                last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
-                interpolate="pixelshuffle",
-            )
+        if cfg.variant == "no_dcn":
+            self.dcn_0 = PlainAlign(m)
+            self.dcn_1 = PlainAlign(m)
+            self.dcn_2 = PlainAlign(m)
+            self.dcn_3 = PlainAlign(m)
         else:
-            self.dcn_3 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop)
+            self.dcn_0 = DCNAlign(m, dg, dk, mag)
+            self.dcn_1 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop)
+            self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop)
+            if cfg.hr_dcn:
+                self.dcn_3 = DCNAlign(
+                    last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
+                    interpolate="pixelshuffle",
+                )
+            else:
+                self.dcn_3 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop)
 
         self.encoder_lr = LTESimpleLR(m)
-        self.encoder_hr = LTESimpleHRSingle(last)
-        self.conv_tttf = Conv(last, name="conv_tttf")
+        if cfg.variant == "basic_fvsr":
+            self.encoder_hr = LTESimpleHR(m)
+            self.conv_tttf = Conv(m, name="conv_tttf")
+        elif cfg.variant == "v18_cra":
+            self.encoder_hr = LTESimpleHRPS(last)
+            self.conv_tttf = Conv(last, name="conv_tttf")
+            self.conv_tttf_0 = Conv(m, name="conv_tttf_0")
+            self.conv_tttf_1 = Conv(m, name="conv_tttf_1")
+            self.conv_tttf_2 = Conv(m, name="conv_tttf_2")
+        else:
+            self.encoder_hr = LTESimpleHRSingle(last)
+            self.conv_tttf = Conv(last, name="conv_tttf")
 
         self.forward_resblocks_0 = ResidualBlocksWithInputConv(m, 1)
         self.forward_resblocks_1 = ResidualBlocksWithInputConv(m, 1)
@@ -114,7 +150,7 @@ class CRFP(nn.Module):
         self.forward_resblocks_3 = ResidualBlocksWithInputConv(last if cfg.hr_dcn else m, 1)
 
         self.downsample = PixelUnShufflePackV2(m, 4, 3)
-        up_ch = cfg.keep_channels if cfg.variant == "v18" else m
+        up_ch = cfg.keep_channels if cfg.is_dsv else m
         self.upsample = PixelShufflePack(up_ch, 2, 3)
         self.upsample_post = PixelShufflePack(last, 4, 3)
 
@@ -124,12 +160,19 @@ class CRFP(nn.Module):
 
     def encode_frame(self, lr: jax.Array, fv: jax.Array, mk: jax.Array):
         """Per-frame encoders + fovea blend. lr (N,h,w,3); fv/mk at 8x."""
-        s = self.cfg.scale
+        cfg = self.cfg
+        s = cfg.scale
         lr_up = upsample(lr, s)
         mkf = mk.astype(lr.dtype)
         blend = fv * mkf + lr_up * (1.0 - mkf)
         x_lr = self.encoder_lr(lr)
-        x_hr = self.encoder_hr(jnp.concatenate([blend, lr_up], axis=-1))
+        hr_in = jnp.concatenate([blend, lr_up], axis=-1)
+        if cfg.variant == "basic_fvsr":
+            x_hr, _, _ = self.encoder_hr(hr_in)  # quarter-res, mid channels
+        elif cfg.variant == "v18_cra":
+            x_hr = self.encoder_hr(hr_in)  # 4-tuple (lv0, lv1, lv2, lv3)
+        else:
+            x_hr = self.encoder_hr(hr_in)
         return x_lr, x_hr
 
     def compute_flow(self, lr_cur: jax.Array, lr_prev: jax.Array) -> jax.Array:
@@ -138,25 +181,40 @@ class CRFP(nn.Module):
     def init_state(self, batch: int, h: int, w: int, dtype=jnp.float32) -> State:
         cfg = self.cfg
         s = cfg.scale
+        if cfg.variant == "basic_fvsr":
+            z = jnp.zeros((batch, h * 2, w * 2, cfg.mid_channels), dtype)
+            return {"p": (z, z, z, z)}
         state: State = {
             "hr": jnp.zeros((batch, h * s, w * s, cfg.last_channels), dtype)
         }
-        if cfg.variant == "v18":
+        if cfg.is_dsv:
             sc = cfg.state_channels
             state["lv"] = tuple(
                 jnp.zeros((batch, h * 2, w * 2, sc), dtype) for _ in range(3)
             )
         return state
 
+    def _base(self, lr: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        return upsample(rgb2y(lr) if cfg.y_only else lr, cfg.scale)
+
     def _reconstruct(self, y: jax.Array, x_hr: jax.Array, mk: jax.Array, lr: jax.Array):
         """Fovea texture blend + conv_last + bilinear-8x base residual."""
-        cfg = self.cfg
         mkf = mk.astype(y.dtype)
         blended = self.conv_tttf(jnp.concatenate([y, x_hr], axis=-1))
         y = mkf * blended + (1.0 - mkf) * y
         y = lrelu(y)
-        base = upsample(rgb2y(lr) if cfg.y_only else lr, cfg.scale)
-        return y, self.conv_last(y) + base
+        return y, self.conv_last(y) + self._base(lr)
+
+    def _cra_blend(self, x, x_hr_lv, mk_lv2, idx):
+        blend = getattr(self, f"conv_tttf_{idx}")(jnp.concatenate([x, x_hr_lv], axis=-1))
+        return mk_lv2 * blend + (1.0 - mk_lv2) * x
+
+    def _dsv_chunk(self, x):
+        chunks = jnp.split(x, 4, axis=-1)
+        keep = jnp.concatenate(chunks[: self.cfg.split_ratio], axis=-1)
+        carry = jnp.concatenate(chunks[self.cfg.split_ratio :], axis=-1)
+        return keep, carry
 
     def step0(self, lr, x_lr, x_hr, mk):
         """First frame: zero states, no warping (the reference's i==0 branch)."""
@@ -167,21 +225,43 @@ class CRFP(nn.Module):
         z_hr = jnp.zeros((n, h * cfg.scale, w * cfg.scale, last), lr.dtype)
         feat_prop_lv0 = self.upsample(x_lr)
 
-        if cfg.variant == "v18":
+        if cfg.variant == "basic_fvsr":
+            mk_lv2 = resize_bilinear(mk.astype(lr.dtype), (h * 2, w * 2))
+            blended = self.conv_tttf(jnp.concatenate([feat_prop_lv0, x_hr], axis=-1))
+            lv0 = mk_lv2 * blended + (1.0 - mk_lv2) * feat_prop_lv0
+            ps = []
+            x = lv0
+            for rb in (self.forward_resblocks_0, self.forward_resblocks_1,
+                       self.forward_resblocks_2, self.forward_resblocks_3):
+                x = rb(jnp.concatenate([x, z_lv3], axis=-1))
+                ps.append(x)
+            y = lrelu(self.upsample_post(ps[3]))
+            out = self.conv_last(y) + self._base(lr)
+            return {"p": tuple(ps)}, out
+
+        if cfg.is_dsv:
+            cra = cfg.variant == "v18_cra"
+            if cra:
+                x_hr_lv0, x_hr_lv1, x_hr_lv2, x_hr_lv3 = x_hr
+                mk_lv2 = resize_bilinear(mk.astype(lr.dtype), (h * 2, w * 2))
+            else:
+                x_hr_lv3 = x_hr
             sc = cfg.state_channels
             z_lv = jnp.zeros((n, h * 2, w * 2, sc), lr.dtype)
             x, lvs = feat_prop_lv0, []
-            for rb in (self.forward_resblocks_0, self.forward_resblocks_1, self.forward_resblocks_2):
+            for idx, rb in enumerate((self.forward_resblocks_0, self.forward_resblocks_1,
+                                      self.forward_resblocks_2)):
                 x = rb(jnp.concatenate([x, z_lv3, z_lv], axis=-1))
-                chunks = jnp.split(x, 4, axis=-1)
-                lvs.append(jnp.concatenate(chunks[cfg.split_ratio:], axis=-1))
-                x = jnp.concatenate(chunks[: cfg.split_ratio], axis=-1)
+                if cra:
+                    x = self._cra_blend(x, (x_hr_lv0, x_hr_lv1, x_hr_lv2)[idx], mk_lv2, idx)
+                x, carry = self._dsv_chunk(x)
+                lvs.append(carry)
             x = lrelu(self.upsample_post(x))
             y = self.forward_resblocks_3(jnp.concatenate([x, z_hr], axis=-1))
-            y, out = self._reconstruct(y, x_hr, mk, lr)
-            state = {"hr": y, "lv": tuple(lvs)}
-            return state, out
+            y, out = self._reconstruct(y, x_hr_lv3, mk, lr)
+            return {"hr": y, "lv": tuple(lvs)}, out
 
+        # v13 / v15 / no_dcn
         reps = 3 if cfg.variant == "v15" else 2
         x = feat_prop_lv0
         for rb in (self.forward_resblocks_0, self.forward_resblocks_1, self.forward_resblocks_2):
@@ -202,17 +282,52 @@ class CRFP(nn.Module):
         trunk features before resblocks 1-3 (streaming CRFP_test semantics).
         """
         cfg = self.cfg
+        n, h, w, _ = lr.shape
         feat_prop_lv0 = self.upsample(x_lr)
         flow_lv3 = upsample(flow, 2) * 2.0
-        flow_lv0 = upsample(flow, cfg.scale) * float(cfg.scale)
-        hr_state = state["hr"]
 
         fg_lv3 = fg_lv0 = None
         if fg is not None:
             fg_lv3 = fg.astype(lr.dtype)
             fg_lv0 = resize_bilinear(fg_lv3, (fg.shape[1] // 4, fg.shape[2] // 4))
 
-        if cfg.variant == "v18":
+        if cfg.variant == "basic_fvsr":
+            mk_lv2 = resize_bilinear(mk.astype(lr.dtype), (h * 2, w * 2))
+            blended = self.conv_tttf(jnp.concatenate([feat_prop_lv0, x_hr], axis=-1))
+            lv0 = mk_lv2 * blended + (1.0 - mk_lv2) * feat_prop_lv0
+            p0, p1, p2, p3 = state["p"]
+            mixed = flow_warp(jnp.concatenate([p0, p1, p2, p3], axis=-1), flow_lv3)
+            p0w, p1w, p2w, p3w = jnp.split(mixed, 4, axis=-1)
+
+            offset = None
+            a, offset_feat = self.dcn_0(lv0, p0, p0w, flow_lv3)
+            offset = offset_feat
+            p0n = self.forward_resblocks_0(jnp.concatenate([lv0, a], axis=-1))
+            a, offset_feat = self.dcn_1(p0n, p1, p1w, flow_lv3,
+                                        offset if cfg.offset_prop else None)
+            offset = offset_feat
+            p1n = self.forward_resblocks_1(jnp.concatenate([p0n, a], axis=-1))
+            a, offset_feat = self.dcn_2(p1n, p2, p2w, flow_lv3,
+                                        offset if cfg.offset_prop else None)
+            offset = offset_feat
+            p2n = self.forward_resblocks_2(jnp.concatenate([p1n, a], axis=-1))
+            a, _ = self.dcn_3(p2n, p3, p3w, flow_lv3,
+                              offset if cfg.offset_prop else None)
+            p3n = self.forward_resblocks_3(jnp.concatenate([p2n, a], axis=-1))
+            y = lrelu(self.upsample_post(p3n))
+            out = self.conv_last(y) + self._base(lr)
+            return {"p": (p0n, p1n, p2n, p3n)}, out
+
+        flow_lv0 = upsample(flow, cfg.scale) * float(cfg.scale)
+        hr_state = state["hr"]
+
+        if cfg.is_dsv:
+            cra = cfg.variant == "v18_cra"
+            if cra:
+                x_hr_lv0, x_hr_lv1, x_hr_lv2, x_hr_lv3 = x_hr
+                mk_lv2 = resize_bilinear(mk.astype(lr.dtype), (h * 2, w * 2))
+            else:
+                x_hr_lv3 = x_hr
             lv3_state = self.downsample(hr_state)
             lv3_warped = flow_warp(lv3_state, flow_lv3)
             hr_warped = flow_warp(hr_state, flow_lv0)
@@ -237,9 +352,10 @@ class CRFP(nn.Module):
                 if fg_lv0 is not None and idx > 0:
                     x = x * fg_lv0
                 x = rb(x)
-                chunks = jnp.split(x, 4, axis=-1)
-                lvs.append(jnp.concatenate(chunks[cfg.split_ratio:], axis=-1))
-                x = jnp.concatenate(chunks[: cfg.split_ratio], axis=-1)
+                if cra:
+                    x = self._cra_blend(x, (x_hr_lv0, x_hr_lv1, x_hr_lv2)[idx], mk_lv2, idx)
+                x, carry = self._dsv_chunk(x)
+                lvs.append(carry)
 
             x = lrelu(self.upsample_post(x))
             aligned, _ = self.dcn_3(x, hr_state, hr_warped, flow_lv0,
@@ -248,8 +364,31 @@ class CRFP(nn.Module):
             if fg_lv3 is not None:
                 y = y * fg_lv3
             y = self.forward_resblocks_3(y)
-            y, out = self._reconstruct(y, x_hr, mk, lr)
+            y, out = self._reconstruct(y, x_hr_lv3, mk, lr)
             return {"hr": y, "lv": tuple(lvs)}, out
+
+        if cfg.variant == "no_dcn":
+            lv3_state = self.downsample(hr_state)
+            lv3_warped = flow_warp(lv3_state, flow_lv3)
+            x = feat_prop_lv0
+            for idx, (blk, rb) in enumerate((
+                (self.dcn_0, self.forward_resblocks_0),
+                (self.dcn_1, self.forward_resblocks_1),
+                (self.dcn_2, self.forward_resblocks_2),
+            )):
+                a = blk(jnp.concatenate([x, lv3_warped, flow_lv3], axis=-1))
+                x = jnp.concatenate([x, a], axis=-1)
+                if fg_lv0 is not None and idx > 0:
+                    x = x * fg_lv0
+                x = rb(x)
+            a = self.dcn_3(jnp.concatenate([x, lv3_warped, flow_lv3], axis=-1))
+            y = jnp.concatenate([x, a], axis=-1)
+            if fg_lv0 is not None:
+                y = y * fg_lv0
+            y = self.forward_resblocks_3(y)
+            y = lrelu(self.upsample_post(y))
+            y, out = self._reconstruct(y, x_hr, mk, lr)
+            return {"hr": y}, out
 
         # ---- v13 / v15 ----
         if cfg.hr_dcn:
@@ -321,13 +460,20 @@ class CRFP(nn.Module):
         fv_flat = fvs.reshape(b * t, h * s, w * s, c)
         mk_flat = mks.reshape(b * t, h * s, w * s, 1)
         x_lr, x_hr = self.encode_frame(lr_flat, fv_flat, mk_flat)
-        x_lr = x_lr.reshape(b, t, *x_lr.shape[1:])
-        x_hr = x_hr.reshape(b, t, *x_hr.shape[1:])
 
-        state, out0 = self.step0(lrs[:, 0], x_lr[:, 0], x_hr[:, 0], mks[:, 0])
+        def unflat(a):
+            return a.reshape(b, t, *a.shape[1:])
 
-        def tm(x):  # time-major
-            return jnp.moveaxis(x[:, 1:], 1, 0)
+        x_lr = unflat(x_lr)
+        x_hr = jax.tree.map(unflat, x_hr)
+
+        def at(tree, i):
+            return jax.tree.map(lambda a: a[:, i], tree)
+
+        state, out0 = self.step0(lrs[:, 0], x_lr[:, 0], at(x_hr, 0), mks[:, 0])
+
+        def tm(tree):  # time-major tail frames
+            return jax.tree.map(lambda a: jnp.moveaxis(a[:, 1:], 1, 0), tree)
 
         xs = (tm(lrs), tm(x_lr), tm(x_hr), tm(mks), jnp.moveaxis(flows, 1, 0))
 

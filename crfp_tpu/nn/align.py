@@ -33,6 +33,19 @@ def _identity_kernel_init(key, shape, dtype=jnp.float32):
     return w.at[kh // 2, kw // 2, idx, idx].set(1.0)
 
 
+class PlainAlign(nn.Module):
+    """The no-DCN ablation block: two convs + lrelu over concat(cur,
+    warped, flow) (/root/reference/model/CRFP.py:2029-2052)."""
+
+    mid_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = lrelu(Conv(self.mid_channels, name="conv1")(x))
+        x = lrelu(Conv(self.mid_channels, name="conv2")(x))
+        return x
+
+
 class DCNAlign(nn.Module):
     mid_channels: int
     deform_groups: int = 8

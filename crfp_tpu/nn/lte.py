@@ -38,6 +38,31 @@ class LTESimpleHRSingle(nn.Module):
         return x
 
 
+class LTESimpleHR(nn.Module):
+    """3-level VGG-ish pyramid (/root/reference/model/LTE.py:53-98).
+
+    Returns (x_lv1, x_lv2, x_lv3): lv3 full res, lv2 half, lv1 quarter —
+    BasicFVSR uses the quarter-res x_lv1 as its texture feature."""
+
+    mid_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        m = self.mid_channels
+        x = lrelu(Conv(m, name="slice1_conv1")(x))
+        x = lrelu(Conv(m, name="slice1_conv2")(x))
+        x_lv3 = lrelu(Conv(m, name="conv_lv3")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = lrelu(Conv(m, name="slice2_conv1")(x))
+        x = lrelu(Conv(m, name="slice2_conv2")(x))
+        x_lv2 = lrelu(Conv(m, name="conv_lv2")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = lrelu(Conv(m, name="slice3_conv1")(x))
+        x = lrelu(Conv(m, name="slice3_conv2")(x))
+        x_lv1 = lrelu(Conv(m, name="conv_lv1")(x))
+        return x_lv1, x_lv2, x_lv3
+
+
 class LTESimpleHRPS(nn.Module):
     """Returns (x_lv0, x_lv1, x_lv2, x_lv3): lv3 at full res with C=mid,
     lv0..2 at 1/4 res with C=mid*4."""

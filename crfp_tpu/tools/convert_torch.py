@@ -71,6 +71,9 @@ def _map_dcn(rest: list[str]) -> tuple[list[str], bool] | None:
     head = rest[0]
     if head == "dcn_block":
         return ([f"dcn_block_conv{int(rest[1]) // 2 + 1}", "conv", kind], leaf == "weight")
+    if head.isdigit():
+        # no_dcn variant: dcn_i is a plain Sequential (CRFP.py:2029-2052)
+        return ([f"conv{int(head) // 2 + 1}", "conv", kind], leaf == "weight")
     if head in ("dcn_offset", "dcn_mask", "conv_fuse"):
         return ([head, "conv", kind], leaf == "weight")
     if head == "dcn":

@@ -17,9 +17,12 @@ def _inputs(b=1, t=3, h=8, w=8, s=8, seed=0):
     return jnp.asarray(lrs), jnp.asarray(fvs), jnp.asarray(mks)
 
 
-@pytest.mark.parametrize("variant", ["v13", "v15", "v18"])
+@pytest.mark.parametrize(
+    "variant", ["v13", "v15", "v18", "v18_cra", "no_dcn", "basic_fvsr"]
+)
 def test_forward_shapes(variant):
-    cfg = ModelConfig(variant=variant, mid_channels=16)
+    hr_dcn = variant not in ("no_dcn", "basic_fvsr")
+    cfg = ModelConfig(variant=variant, mid_channels=16, hr_dcn=hr_dcn)
     model = CRFP(cfg)
     lrs, fvs, mks = _inputs()
     params = model.init(jax.random.PRNGKey(0), lrs, fvs, mks)
@@ -28,9 +31,10 @@ def test_forward_shapes(variant):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
-@pytest.mark.parametrize("variant", ["v13", "v18"])
+@pytest.mark.parametrize("variant", ["v13", "v18", "v18_cra", "no_dcn", "basic_fvsr"])
 def test_streaming_matches_batch(variant):
-    cfg = ModelConfig(variant=variant, mid_channels=16)
+    hr_dcn = variant not in ("no_dcn", "basic_fvsr")
+    cfg = ModelConfig(variant=variant, mid_channels=16, hr_dcn=hr_dcn)
     model = CRFP(cfg)
     lrs, fvs, mks = _inputs(t=4)
     params = model.init(jax.random.PRNGKey(1), lrs, fvs, mks)
