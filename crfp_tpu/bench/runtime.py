@@ -1,0 +1,136 @@
+"""Streaming latency harness (test_runtime.py parity) with per-stage timing.
+
+Protocol from /root/reference/test_runtime.py:81-186: synthetic inputs,
+batch 1, t frames per rep, ``repeat_time`` reps with ``warm_up`` discarded,
+presets 1080p (LR 135x240) / 720p / 512^2, fovea 96^2, warp_size 720^2.
+
+Stage timing replaces CUDA events (SURVEY.md §5.1): each stage (flow,
+encoders, trunk step, reconstruction is inside the step) is jitted
+separately and timed with ``block_until_ready`` host timers; memory via
+``device.memory_stats()``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crfp_tpu.models.crfp import ModelConfig
+from crfp_tpu.models.runtime import CRFPRuntimeV18
+
+PRESETS = {
+    "1080p": {"hr": (1080, 1920), "lr": (135, 240)},
+    "720p": {"hr": (720, 1280), "lr": (90, 160)},
+    "512": {"hr": (512, 512), "lr": (64, 64)},
+}
+
+
+@dataclasses.dataclass
+class BenchResult:
+    preset: str
+    warp_size: tuple[int, int]
+    sec_per_frame: float
+    frames_per_sec: float
+    stage_seconds: dict[str, float]
+    peak_bytes: int | None
+
+    def __str__(self):
+        stages = "  ".join(f"{k} {v*1e3:.2f}ms" for k, v in self.stage_seconds.items())
+        mem = f"  peak {self.peak_bytes/2**20:.0f}MiB" if self.peak_bytes else ""
+        return (
+            f"[{self.preset} warp={self.warp_size}] {self.sec_per_frame*1e3:.2f} ms/frame"
+            f" = {self.frames_per_sec:.1f} fps  |  {stages}{mem}"
+        )
+
+
+def _timed(fn, *args) -> tuple[Any, float]:
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(*args))
+    return out, time.perf_counter() - t0
+
+
+def run_runtime_bench(
+    preset: str = "1080p",
+    warp_size: tuple[int, int] = (720, 720),
+    mid_channels: int = 32,
+    t: int = 5,
+    repeat_time: int = 30,
+    warm_up: int = 10,
+    fv_hw: tuple[int, int] = (96, 96),
+    seed: int = 0,
+) -> BenchResult:
+    cfg = ModelConfig(variant="v18", mid_channels=mid_channels)
+    model = CRFPRuntimeV18(cfg, warp_size=warp_size)
+    lr_h, lr_w = PRESETS[preset]["lr"]
+    rng = np.random.default_rng(seed)
+
+    lr = jnp.asarray(rng.uniform(0, 1, (1, lr_h, lr_w, 3)), jnp.float32)
+    fv = jnp.asarray(rng.uniform(0, 1, (1, *fv_hw, 3)), jnp.float32)
+
+    def init(key):
+        def run(mdl):
+            x_lr, x_hr = mdl.encode(lr, fv)
+            state, _ = mdl.step0(lr, x_lr, x_hr)
+            mdl.step(state, lr, lr, x_lr, x_hr)
+
+        return model.init(key, method=run)
+
+    params = jax.jit(init)(jax.random.PRNGKey(0))
+
+    flow_fn = jax.jit(
+        lambda p, a, b: model.apply(p, a, b, method=CRFPRuntimeV18.compute_flow)
+    )
+    enc_fn = jax.jit(lambda p, a, b: model.apply(p, a, b, method=CRFPRuntimeV18.encode))
+    step0_fn = jax.jit(
+        lambda p, a, xl, xh: model.apply(p, a, xl, xh, method=CRFPRuntimeV18.step0)
+    )
+    step_fn = jax.jit(
+        lambda p, s, a, pa, xl, xh: model.apply(p, s, a, pa, xl, xh, method=CRFPRuntimeV18.step),
+        donate_argnums=(1,),
+    )
+
+    stage_times = {"flow": 0.0, "enc": 0.0, "step": 0.0}
+    n_timed = 0
+    total = 0.0
+
+    dev = jax.devices()[0]
+    out = None
+    for rep in range(repeat_time):
+        timed = rep >= warm_up
+        rep_t0 = time.perf_counter()
+        # per-stage measurement (flow is also inside step; measured alone
+        # here to report the breakdown like CRFP_runtime.py:8654-8662)
+        _, t_flow = _timed(flow_fn, params, lr, lr)
+        (x_lr, x_hr), t_enc = _timed(enc_fn, params, lr, fv)
+        state, _ = step0_fn(params, lr, x_lr, x_hr)
+        t_steps = 0.0
+        for _ in range(t - 1):
+            (state, out), dt = _timed(step_fn, params, state, lr, lr, x_lr, x_hr)
+            t_steps += dt
+        jax.block_until_ready(out)
+        if timed:
+            total += time.perf_counter() - rep_t0
+            stage_times["flow"] += t_flow
+            stage_times["enc"] += t_enc
+            stage_times["step"] += t_steps / (t - 1)
+            n_timed += 1
+
+    spf = total / (n_timed * t)
+    stages = {k: v / n_timed for k, v in stage_times.items()}
+    try:
+        peak = dev.memory_stats().get("peak_bytes_in_use")
+    except Exception:
+        peak = None
+    return BenchResult(
+        preset=preset,
+        warp_size=warp_size,
+        sec_per_frame=spf,
+        frames_per_sec=1.0 / spf,
+        stage_seconds=stages,
+        peak_bytes=peak,
+    )

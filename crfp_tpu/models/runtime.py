@@ -1,0 +1,185 @@
+"""Latency-oriented v18 trunk with static regional-computation (warp_size).
+
+Replicates the reference's benchmark model MRCF_simple_v18 in
+CRFP_runtime.py:8364-8664: flow is estimated only on the warp_size/8 crop
+of the LR frame (:8492), the DCN/alignment cascade runs on ROI crops
+anchored at the top-left, the per-level DSV carries live at ROI/4
+resolution (:8562-8592), the keep-path of the cascade reuses the original
+upsampled feature at each level (the reference drops the chunked keep,
+:8563), and only the final resblock stitches the ROI back into the full
+frame via the two-input-conv block (ResidualBlocksWithInputConv_v2,
+:464-556). The fovea patch is blended into the top-left corner in place
+(:8638-8641).
+
+TPU-native: warp_size is a static Python tuple, so every crop is a static
+slice and the in-place patches are ``lax.dynamic_update_slice`` — one
+compiled program per warp_size, as SURVEY.md §5.7 prescribes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from crfp_tpu.models.crfp import ModelConfig
+from crfp_tpu.nn.align import DCNAlign
+from crfp_tpu.nn.flow import FNet
+from crfp_tpu.nn.layers import (
+    Conv,
+    PixelShufflePack,
+    PixelUnShufflePackV2,
+    ResidualBlockNoBN,
+    ResidualBlocksWithInputConv,
+    lrelu,
+)
+from crfp_tpu.nn.lte import LTESimpleHRSingle, LTESimpleLR
+from crfp_tpu.ops.resize import upsample
+from crfp_tpu.ops.warp import flow_warp
+
+State = dict[str, Any]
+
+
+class ResidualBlocksWithInputConvV2(nn.Module):
+    """Two input convs; the ROI result of conv1 is patched into the
+    full-frame result of conv2 before the residual blocks."""
+
+    out_channels: int
+    num_blocks: int = 1
+
+    @nn.compact
+    def __call__(self, feat_roi: jax.Array, feat_full: jax.Array | None = None) -> jax.Array:
+        o1 = Conv(self.out_channels, name="conv1")(feat_roi)
+        if feat_full is not None and feat_full.shape[1:3] != feat_roi.shape[1:3]:
+            full = Conv(self.out_channels, name="conv2")(feat_full)
+            x = jax.lax.dynamic_update_slice(full, o1, (0, 0, 0, 0))
+        else:
+            # same-size "stitch" fully overwrites conv2's output, so conv2
+            # is dead compute (the reference still runs it; we skip it)
+            x = o1
+        x = lrelu(x)
+        for i in range(self.num_blocks):
+            x = ResidualBlockNoBN(self.out_channels, name=f"block{i}")(x)
+        return x
+
+
+class CRFPRuntimeV18(nn.Module):
+    """Streaming step API: init is implicit (state=None -> cold start)."""
+
+    cfg: ModelConfig
+    warp_size: tuple[int, int] = (720, 720)
+
+    def setup(self):
+        cfg = self.cfg
+        m, last = cfg.mid_channels, cfg.last_channels
+        dg, dk, mag = cfg.deform_groups, cfg.dcn_kernel, cfg.max_residue_magnitude
+        self.spynet = FNet()
+        self.dcn_0 = DCNAlign(m, dg, dk, mag)
+        self.dcn_1 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop)
+        self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop)
+        self.dcn_3 = DCNAlign(last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
+                              interpolate="pixelshuffle")
+        self.encoder_lr = LTESimpleLR(m)
+        self.encoder_hr = LTESimpleHRSingle(last)
+        self.conv_tttf = Conv(last, name="conv_tttf")
+        # cold-start resblocks (plain) and steady-state stitching resblocks
+        self.forward_resblocks_0_ = ResidualBlocksWithInputConv(m, 1)
+        self.forward_resblocks_1_ = ResidualBlocksWithInputConv(m, 1)
+        self.forward_resblocks_2_ = ResidualBlocksWithInputConv(m, 1)
+        self.forward_resblocks_3_ = ResidualBlocksWithInputConv(last, 1)
+        self.forward_resblocks_0 = ResidualBlocksWithInputConvV2(m, 1)
+        self.forward_resblocks_1 = ResidualBlocksWithInputConvV2(m, 1)
+        self.forward_resblocks_2 = ResidualBlocksWithInputConvV2(m, 1)
+        self.forward_resblocks_3 = ResidualBlocksWithInputConvV2(last, 1)
+        self.downsample = PixelUnShufflePackV2(m, 4, 3)
+        self.upsample = PixelShufflePack(cfg.keep_channels, 2, 3)
+        self.upsample_post = PixelShufflePack(last, 4, 3)
+        self.conv_last = Conv(1 if cfg.y_only else 3, name="conv_last")
+
+    def encode(self, lr: jax.Array, fv: jax.Array):
+        x_lr = self.encoder_lr(lr)
+        x_hr = self.encoder_hr(jnp.concatenate([fv, fv], axis=-1))
+        return x_lr, x_hr
+
+    def compute_flow(self, lr_cur: jax.Array, lr_prev: jax.Array) -> jax.Array:
+        wph, wpw = self.warp_size
+        return self.spynet(
+            lr_cur[:, : wph // 8, : wpw // 8], lr_prev[:, : wph // 8, : wpw // 8]
+        )
+
+    def step0(self, lr, x_lr, x_hr):
+        cfg = self.cfg
+        wph, wpw = self.warp_size
+        sr = cfg.split_ratio
+        feat_prop_lv0 = self.upsample(x_lr)  # keep_ch @ 2h x 2w
+
+        lvs = []
+        x = feat_prop_lv0
+        for rb in (self.forward_resblocks_0_, self.forward_resblocks_1_,
+                   self.forward_resblocks_2_):
+            full = rb(x)
+            chunks = jnp.split(full, 4, axis=-1)
+            lvs.append(
+                jnp.concatenate(chunks[sr:], axis=-1)[:, : wph // 4, : wpw // 4]
+            )
+            x = jnp.concatenate(chunks[:sr], axis=-1)
+        x = lrelu(self.upsample_post(x))
+        lv3 = self.forward_resblocks_3_(x)
+        lv3, out = self._finish(lv3, x_hr, lr)
+        state = {"hr": lv3[:, :wph, :wpw], "lv": tuple(lvs)}
+        return state, out
+
+    def step(self, state: State, lr, pre_lr, x_lr, x_hr):
+        cfg = self.cfg
+        wph, wpw = self.warp_size
+        sr = cfg.split_ratio
+        flow = self.compute_flow(lr, pre_lr)
+        feat_prop_lv0 = self.upsample(x_lr)  # keep_ch @ 2h x 2w (full frame)
+
+        flow_lv3 = upsample(flow, 2) * 2.0
+        flow_lv0 = upsample(flow, cfg.scale) * float(cfg.scale)
+
+        hr_state = state["hr"]  # last @ ROI
+        hr_warped = flow_warp(hr_state, flow_lv0)
+        lv3_warped = self.downsample(hr_warped)
+        lv3_state = self.downsample(hr_state)
+        f0, f1, f2 = state["lv"]
+        mixed = flow_warp(jnp.concatenate([f0, f1, f2], axis=-1), flow_lv3)
+        f0, f1, f2 = jnp.split(mixed, 3, axis=-1)
+
+        roi_lv0 = feat_prop_lv0[:, : wph // 4, : wpw // 4]
+        offset = None
+        lvs = []
+        for dcn, rb, f in (
+            (self.dcn_0, self.forward_resblocks_0, f0),
+            (self.dcn_1, self.forward_resblocks_1, f1),
+            (self.dcn_2, self.forward_resblocks_2, f2),
+        ):
+            feat_temp = jnp.concatenate([roi_lv0, f], axis=-1)
+            aligned, offset_feat = dcn(feat_temp, lv3_state, lv3_warped, flow_lv3,
+                                       offset if cfg.offset_prop else None)
+            offset = offset_feat
+            full = rb(jnp.concatenate([feat_temp, aligned], axis=-1), feat_temp)
+            chunks = jnp.split(full, 4, axis=-1)
+            lvs.append(jnp.concatenate(chunks[sr:], axis=-1))
+
+        full_lv3 = lrelu(self.upsample_post(feat_prop_lv0))  # last @ 8h x 8w
+        aligned, _ = self.dcn_3(full_lv3[:, :wph, :wpw], hr_state, hr_warped,
+                                flow_lv0, offset if cfg.offset_prop else None)
+        lv3 = self.forward_resblocks_3(
+            jnp.concatenate([full_lv3[:, :wph, :wpw], aligned], axis=-1), full_lv3
+        )
+        lv3, out = self._finish(lv3, x_hr, lr)
+        return {"hr": lv3[:, :wph, :wpw], "lv": tuple(lvs)}, out
+
+    def _finish(self, lv3, x_hr, lr):
+        """Patch the fovea blend into the top-left corner, reconstruct."""
+        fh, fw = x_hr.shape[1:3]
+        corner = lv3[:, :fh, :fw]
+        blended = self.conv_tttf(jnp.concatenate([corner, x_hr], axis=-1))
+        lv3 = jax.lax.dynamic_update_slice(lv3, blended, (0, 0, 0, 0))
+        lv3 = lrelu(lv3)
+        out = self.conv_last(lv3) + upsample(lr, self.cfg.scale)
+        return lv3, out

@@ -1,0 +1,52 @@
+"""Regional-computation runtime model: shapes, ROI state, full-frame output."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crfp_tpu.models.crfp import ModelConfig
+from crfp_tpu.models.runtime import CRFPRuntimeV18, ResidualBlocksWithInputConvV2
+
+
+def test_v2_resblock_stitches_roi_into_full_frame():
+    rb = ResidualBlocksWithInputConvV2(4, 1)
+    rng = np.random.default_rng(0)
+    roi = jnp.asarray(rng.standard_normal((1, 8, 8, 8)), jnp.float32)
+    full = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    params = rb.init(jax.random.PRNGKey(0), roi, full)
+    out = rb.apply(params, roi, full)
+    assert out.shape == (1, 16, 16, 4)
+    # ROI-only path matches in the ROI interior (the stitched path's
+    # residual convs see full-frame neighbors within 2px of the boundary)
+    out_roi = rb.apply(params, roi, None)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :6, :6]), np.asarray(out_roi[:, :6, :6]), atol=2e-5
+    )
+    # outside the ROI the output comes from the full-frame conv path
+    assert float(jnp.abs(out[:, 10:, 10:]).sum()) > 0
+
+
+def test_runtime_step_shapes_and_state():
+    cfg = ModelConfig(variant="v18", mid_channels=16)
+    h, w, s = 16, 24, 8
+    wp = (64, 64)
+    model = CRFPRuntimeV18(cfg, warp_size=wp)
+    rng = np.random.default_rng(1)
+    lr = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    fv = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+
+    def run(mdl):
+        x_lr, x_hr = mdl.encode(lr, fv)
+        state, out0 = mdl.step0(lr, x_lr, x_hr)
+        state, out1 = mdl.step(state, lr, lr, x_lr, x_hr)
+        return state, out0, out1
+
+    params = model.init(jax.random.PRNGKey(0), method=run)
+    state, out0, out1 = model.apply(params, method=run)
+    assert out0.shape == (1, h * s, w * s, 3)
+    assert out1.shape == (1, h * s, w * s, 3)
+    # recurrent state lives at the static ROI size, not the full frame
+    assert state["hr"].shape == (1, wp[0], wp[1], cfg.last_channels)
+    for f in state["lv"]:
+        assert f.shape == (1, wp[0] // 4, wp[1] // 4, cfg.state_channels)
+    assert np.isfinite(np.asarray(out1)).all()
