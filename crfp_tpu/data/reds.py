@@ -63,7 +63,16 @@ class _RedsBase:
         gt = [_load(f) for f in gt_files]
         h, w, _ = gt[0].shape
         lr = [_load(f) for f in lr_files]
-        lr_sr = [np.array(PIL.Image.fromarray(im).resize((w, h), PIL.Image.BICUBIC)) for im in lr]
+        from crfp_tpu import native
+
+        if native.native_available():
+            # C++ OpenMP bicubic over the whole window (PIL byte-parity)
+            lr_sr = list(native.resize_bicubic_u8(np.stack(lr), h, w))
+        else:
+            lr_sr = [
+                np.array(PIL.Image.fromarray(im).resize((w, h), PIL.Image.BICUBIC))
+                for im in lr
+            ]
         return gt, lr, lr_sr
 
 

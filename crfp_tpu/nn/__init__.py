@@ -7,8 +7,9 @@ from crfp_tpu.nn.layers import (
     lrelu,
 )
 from crfp_tpu.nn.flow import FNet, SPyNet
-from crfp_tpu.nn.lte import LTESimpleLR, LTESimpleHRSingle, LTESimpleHRPS
-from crfp_tpu.nn.align import DCNAlign
+from crfp_tpu.nn.lte import LTESimpleLR, LTESimpleHR, LTESimpleHRSingle, LTESimpleHRPS
+from crfp_tpu.nn.align import DCNAlign, PlainAlign
+from crfp_tpu.nn.pcd import PCDAlign
 
 __all__ = [
     "Conv",
@@ -20,7 +21,10 @@ __all__ = [
     "FNet",
     "SPyNet",
     "LTESimpleLR",
+    "LTESimpleHR",
     "LTESimpleHRSingle",
     "LTESimpleHRPS",
     "DCNAlign",
+    "PlainAlign",
+    "PCDAlign",
 ]

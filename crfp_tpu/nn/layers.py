@@ -72,6 +72,15 @@ class Conv(nn.Module):
         fan_in = k * k * x.shape[-1]
         kinit = self.kernel_init or torch_conv_kernel_init
         binit = self.bias_init or torch_conv_bias_init(fan_in)
+        # parity runs pin full-f32 MXU passes; the bf16 fast path (inputs
+        # cast by crfp_tpu.utils.precision.cast_to_compute) uses the native
+        # bf16 systolic array with f32 accumulation
+        if x.dtype == jnp.bfloat16:
+            prec = None
+            dtype = jnp.bfloat16
+        else:
+            prec = jax.lax.Precision.HIGHEST
+            dtype = None
         return nn.Conv(
             features=self.features,
             kernel_size=(k, k),
@@ -80,7 +89,8 @@ class Conv(nn.Module):
             kernel_init=kinit,
             bias_init=binit,
             use_bias=self.use_bias,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
+            dtype=dtype,
             name="conv",
         )(x)
 

@@ -82,13 +82,91 @@ def deform_conv2d(
     w2 = weight.reshape(k2, g, cpg, o).transpose(1, 0, 2, 3).reshape(g * k2 * cpg, o)
     # full-f32 MXU passes: bf16-rounded inputs (TPU default) lose ~2^-8
     # relative accuracy per term, which blows the 0.05 dB parity budget
+    prec = None if x.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     out = jnp.einsum(
         "nhwk,ko->nhwo",
         samp,
-        w2,
+        w2.astype(samp.dtype),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+def deform_conv2d_shared_offset(
+    x: jax.Array,
+    offset: jax.Array,
+    mask: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """DCN fast path for repeat mode (one offset pair broadcast to all taps).
+
+    When every tap shares one (dy, dx) — the reference's ``repeat=True``
+    dcn_3 at full 8x resolution (/root/reference/model/CRFP.py:341-347) —
+    all 3x3 taps sample positions ``q + t`` with a COMMON fractional part,
+    so the 9 taps x 4 corners = 36 gathers collapse to the 4x4 integer
+    patch around ``q`` (16 gathers). This is the gather-traffic-optimal
+    formulation for the hottest (full-res) DCN stage.
+
+    Args:
+      x: (N, H, W, C); offset: (N, H, W, 2) shared (dy, dx) including flow;
+      mask: (N, H, W, K2) per-tap modulation; weight: (kh, kw, C, O).
+    """
+    n, h, w, c = x.shape
+    kh, kw, wc, o = weight.shape
+    assert wc == c
+    k2 = kh * kw
+    assert offset.shape == (n, h, w, 2), offset.shape
+    assert mask.shape == (n, h, w, k2), mask.shape
+    pad_y, pad_x = (kh - 1) // 2, (kw - 1) // 2
+
+    gy = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1)
+    gx = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w)
+    qy = gy + offset[..., 0]
+    qx = gx + offset[..., 1]
+    fy0 = jnp.floor(qy)
+    fx0 = jnp.floor(qx)
+    ry = (qy - fy0)[..., None]  # (n,h,w,1)
+    rx = (qx - fx0)[..., None]
+    y0 = fy0.astype(jnp.int32)
+    x0 = fx0.astype(jnp.int32)
+
+    flat = x.reshape(n, h * w, c)
+
+    def fetch(dy, dx):
+        yy = y0 + dy
+        xx = x0 + dx
+        valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        idx = (jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)).reshape(n, h * w)
+        v = jnp.take_along_axis(flat, idx[:, :, None], axis=1).reshape(n, h, w, c)
+        return v * valid[..., None]
+
+    # 4x4 integer patch around q: rows/cols pad-1 .. pad+2 relative to q
+    patch = {}
+    for a in range(kh + 1):
+        for b in range(kw + 1):
+            patch[(a, b)] = fetch(a - pad_y, b - pad_x)
+
+    wy = (1.0 - ry, ry)
+    wx = (1.0 - rx, rx)
+    out = jnp.zeros((n, h, w, o), jnp.float32)
+    for t in range(k2):
+        ty, tx = t // kw, t % kw
+        samp = jnp.zeros((n, h, w, c), jnp.float32)
+        for dy in range(2):
+            for dx in range(2):
+                samp = samp + wy[dy] * wx[dx] * patch[(ty + dy, tx + dx)]
+        samp = samp * mask[..., t : t + 1]
+        out = out + jnp.einsum(
+            "nhwc,co->nhwo",
+            samp,
+            weight[ty, tx].astype(samp.dtype),
+            preferred_element_type=jnp.float32,
+            precision=None if x.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST,
+        )
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)

@@ -63,14 +63,21 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int], align_corners: bool =
     if (h, w) == (oh, ow):
         return x
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    if dtype == jnp.bfloat16:
+        # fast path: bf16 operands, f32 accumulation on the MXU
+        prec, work = None, jnp.bfloat16
+    else:
+        prec, work = jax.lax.Precision.HIGHEST, jnp.float32
+    xf = x.astype(work)
     if h != oh:
-        mh = jnp.asarray(_bilinear_matrix(h, oh, align_corners))
+        mh = jnp.asarray(_bilinear_matrix(h, oh, align_corners)).astype(work)
         # contract the H axis: (oh,h) x (n,h,w,c) -> (n,oh,w,c)
-        xf = jnp.einsum("Oh,nhwc->nOwc", mh, xf, precision=jax.lax.Precision.HIGHEST)
+        xf = jnp.einsum("Oh,nhwc->nOwc", mh, xf, precision=prec,
+                        preferred_element_type=jnp.float32)
     if w != ow:
-        mw = jnp.asarray(_bilinear_matrix(w, ow, align_corners))
-        xf = jnp.einsum("Ow,nhwc->nhOc", mw, xf, precision=jax.lax.Precision.HIGHEST)
+        mw = jnp.asarray(_bilinear_matrix(w, ow, align_corners)).astype(work)
+        xf = jnp.einsum("Ow,nhwc->nhOc", mw, xf, precision=prec,
+                        preferred_element_type=jnp.float32)
     return xf.astype(dtype)
 
 
