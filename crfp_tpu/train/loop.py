@@ -134,12 +134,26 @@ def make_train_step(model: CRFP, cfg: TrainConfig, mesh: jax.sharding.Mesh | Non
 
     def loss_fn(params, batch):
         sr = model.apply(params, batch["lr"], batch["fv"], batch["mk"])
-        return cfg.rec_w * charbonnier_loss(sr, batch["hr"])
+        return cfg.rec_w * charbonnier_loss(sr, batch["hr"]), sr
 
     def train_step(state: TrainState, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        (loss, sr), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
         new_state = state.apply_gradients(grads)
-        return new_state, {"loss": loss}
+        metrics = {"loss": loss}
+        # per-iteration train PSNR/SSIM in RGB and Y, full-ones mask
+        # (/root/reference/trainer.py:253-268)
+        from crfp_tpu.ops.color import bgr2ycbcr_y
+        from crfp_tpu.ops.metrics import masked_psnr, masked_ssim
+
+        sr_f = jax.lax.stop_gradient(sr).reshape(-1, *sr.shape[2:])
+        hr_f = batch["hr"].reshape(-1, *sr.shape[2:])
+        ones = jnp.ones_like(sr_f[..., :1])
+        metrics["psnr"] = masked_psnr(sr_f, hr_f, ones)
+        metrics["ssim"] = masked_ssim(sr_f, hr_f, ones)
+        sy, hy = bgr2ycbcr_y(sr_f) / 255.0, bgr2ycbcr_y(hr_f) / 255.0
+        metrics["psnr_y"] = masked_psnr(sy, hy, ones)
+        metrics["ssim_y"] = masked_ssim(sy, hy, ones)
+        return new_state, metrics
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))

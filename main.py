@@ -85,12 +85,13 @@ def train(args, logger):
             state, m = step_fn(state, jbatch)
             cur_iter += 1
             if cur_iter % args.print_every == 0:
-                loss = float(m["loss"])
+                scalars = {k: float(v) for k, v in m.items()}
                 logger.info(
-                    f"epoch {epoch} iter {cur_iter} loss {loss:.5f} "
+                    f"epoch {epoch} iter {cur_iter} loss {scalars['loss']:.5f} "
+                    f"psnr {scalars.get('psnr', 0):.2f} ssim {scalars.get('ssim', 0):.4f} "
                     f"({(time.time() - t0) / cur_iter:.2f} s/iter)"
                 )
-                metrics.write("train", cur_iter, loss=loss)
+                metrics.write("train", cur_iter, **scalars)
             if cur_iter % args.save_every == 0:
                 ckpt.save(cur_iter, state)
                 logger.info(f"saved checkpoint @ iter {cur_iter}")
@@ -152,6 +153,8 @@ def main():
         # must land before any backend touch; the axon sitecustomize pins
         # jax_platforms, so the env var alone is not enough
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     logger = mk_exp_dir(args)
     logger.info(f"devices: {jax.devices()}")
     if args.test:
