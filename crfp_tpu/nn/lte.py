@@ -63,6 +63,46 @@ class LTESimpleHR(nn.Module):
         return x_lv1, x_lv2, x_lv3
 
 
+class LTESimpleHRV1(nn.Module):
+    """3-level pyramid with widening channels mid/4 -> mid/2 -> mid
+    (/root/reference/model/LTE.py:168-213; unused by shipped models)."""
+
+    mid_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        m = self.mid_channels
+        x = lrelu(Conv(m // 4, name="slice1_conv1")(x))
+        x = lrelu(Conv(m // 4, name="slice1_conv2")(x))
+        x_lv3 = lrelu(Conv(m // 4, name="conv_lv3")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = lrelu(Conv(m // 2, name="slice2_conv1")(x))
+        x = lrelu(Conv(m // 2, name="slice2_conv2")(x))
+        x_lv2 = lrelu(Conv(m // 2, name="conv_lv2")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = lrelu(Conv(m, name="slice3_conv1")(x))
+        x = lrelu(Conv(m, name="slice3_conv2")(x))
+        x_lv1 = lrelu(Conv(m, name="conv_lv1")(x))
+        return x_lv1, x_lv2, x_lv3
+
+
+class LTESimpleHRX8(nn.Module):
+    """4-level 64-channel maxpool pyramid
+    (/root/reference/model/LTE.py:215-273; unused by shipped models)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        outs = []
+        for level in range(4):
+            if level > 0:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = lrelu(Conv(64, name=f"slice{level+1}_conv1")(x))
+            x = lrelu(Conv(64, name=f"slice{level+1}_conv2")(x))
+            outs.append(lrelu(Conv(64, name=f"conv_lv{3-level}")(x)))
+        x_lv3, x_lv2, x_lv1, x_lv0 = outs
+        return x_lv0, x_lv1, x_lv2, x_lv3
+
+
 class LTESimpleHRPS(nn.Module):
     """Returns (x_lv0, x_lv1, x_lv2, x_lv3): lv3 at full res with C=mid,
     lv0..2 at 1/4 res with C=mid*4."""
