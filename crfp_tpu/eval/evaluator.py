@@ -57,9 +57,18 @@ def _frame_metrics(sr, hr):
 _frame_metrics_jit = jax.jit(_frame_metrics)
 
 
-def evaluate_clips(model, params, loader, y_only: bool = False, log=None) -> EvalResult:
+def evaluate_clips(
+    model, params, loader, y_only: bool = False, log=None, save_dir: str | None = None
+) -> EvalResult:
+    """save_dir: when set, SR frames are written as PNGs
+    (--eval_save_results / trainer.test_basicvsr parity,
+    /root/reference/trainer.py:415-560)."""
     apply = jax.jit(lambda p, lr, fv, mk: model.apply(p, lr, fv, mk))
     ps, ss, pys, ssys = [], [], [], []
+    if save_dir is not None:
+        import os
+
+        os.makedirs(save_dir, exist_ok=True)
     for i_batch, batch in enumerate(loader):
         lr = jnp.asarray(batch["LR"])
         fv = jnp.asarray(batch["Ref"])
@@ -73,6 +82,17 @@ def evaluate_clips(model, params, loader, y_only: bool = False, log=None) -> Eva
             sr = yuv2rgb(jnp.concatenate([sr_flat[..., :1], yuv[..., 1:]], axis=-1))
             sr = sr.reshape(hr.shape)
         b, t = sr.shape[:2]
+        if save_dir is not None:
+            import os
+
+            import PIL.Image
+
+            arr = np.asarray(jnp.clip(sr, 0, 1) * 255).round().astype(np.uint8)
+            for bi in range(b):
+                for ti in range(t):
+                    PIL.Image.fromarray(arr[bi, ti]).save(
+                        os.path.join(save_dir, f"sr_{i_batch:05d}_{bi}_{ti:02d}.png")
+                    )
         p, s, py, sy = _frame_metrics_jit(sr.reshape(b * t, *sr.shape[2:]),
                                           hr.reshape(b * t, *hr.shape[2:]))
         p, s, py, sy = (np.asarray(x) for x in (p, s, py, sy))

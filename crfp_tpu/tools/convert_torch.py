@@ -167,3 +167,33 @@ def load_torch_checkpoint(path: str, strict: bool = True) -> dict:
     if "state_dict" in sd and isinstance(sd["state_dict"], dict):
         sd = sd["state_dict"]
     return convert_state_dict(sd, strict=strict)
+
+
+def main():
+    """CLI: convert a reference .pt/.pth checkpoint to an orbax directory.
+
+    Usage: python -m crfp_tpu.tools.convert_torch ckpt.pt out_dir [--lenient]
+    """
+    import argparse
+    import os
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    p = argparse.ArgumentParser()
+    p.add_argument("ckpt")
+    p.add_argument("out_dir")
+    p.add_argument("--lenient", action="store_true",
+                   help="skip unmapped keys instead of failing")
+    args = p.parse_args()
+
+    params = load_torch_checkpoint(args.ckpt, strict=not args.lenient)
+    n = sum(x.size for x in jax.tree.leaves(params))
+    ocp.StandardCheckpointer().save(
+        os.path.abspath(args.out_dir), {"params": params}, force=True
+    )
+    print(f"converted {args.ckpt} -> {args.out_dir} ({n:,} parameters)")
+
+
+if __name__ == "__main__":
+    main()

@@ -124,7 +124,11 @@ def evaluate(args, logger):
     best = {"psnr": 0.0, "ssim": 0.0, "psnr_y": 0.0, "ssim_y": 0.0}
     for p in paths:
         params = _load_params(model, p, sample)
-        res = evaluate_clips(model, params, loaders["eval"], args.y_only, logger.info)
+        save_dir = (
+            os.path.join(args.save_dir, "results", os.path.basename(p))
+            if args.eval_save_results else None
+        )
+        res = evaluate_clips(model, params, loaders["eval"], args.y_only, logger.info, save_dir)
         logger.info(f"{os.path.basename(p)}: {res}")
         for k in best:
             best[k] = max(best[k], getattr(res, k))
@@ -143,7 +147,8 @@ def test(args, logger):
     if not args.model_path:
         raise SystemExit("--model_path is required in test mode")
     params = _load_params(model, args.model_path, sample)
-    res = evaluate_clips(model, params, loaders["test"], args.y_only, logger.info)
+    save_dir = os.path.join(args.save_dir, "results") if args.eval_save_results else None
+    res = evaluate_clips(model, params, loaders["test"], args.y_only, logger.info, save_dir)
     logger.info(f"test: {res}")
 
 

@@ -142,6 +142,15 @@ def main(argv=None):
                 jnp.asarray(zones.fg[None]) if use_fg else None,
             )
             sr = np.asarray(out)
+            if args.y_only:
+                # pair the model's Y with bicubic-upsampled UV
+                # (/root/reference/test_video.py:396-402)
+                from crfp_tpu.ops.color import rgb2yuv, yuv2rgb
+
+                yuv = np.asarray(rgb2yuv(lrsrs[i : i + 1]))
+                sr = np.asarray(
+                    yuv2rgb(np.concatenate([sr[..., :1], yuv[..., 1:]], axis=-1))
+                )
             zone_eval.update(sr, gts[i : i + 1], zones)
             sr_frames.append((np.clip(sr[0], 0, 1) * 255).round().astype(np.uint8))
             if args.heatmaps:

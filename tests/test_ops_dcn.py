@@ -85,6 +85,23 @@ def test_identity_init_is_identity():
     np.testing.assert_allclose(out, x, atol=1e-5)
 
 
+def test_shared_offset_matches_generic():
+    from crfp_tpu.ops.dcn import deform_conv2d_shared_offset
+
+    rng = np.random.default_rng(3)
+    n, h, w, c, o = 1, 6, 7, 4, 4
+    x = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    shared = (rng.standard_normal((n, h, w, 2)) * 2).astype(np.float32)
+    mask9 = rng.uniform(0, 1, (n, h, w, 9)).astype(np.float32)
+    weight = rng.standard_normal((3, 3, c, o)).astype(np.float32) * 0.2
+    bias = rng.standard_normal((o,)).astype(np.float32)
+
+    off_full = np.broadcast_to(shared[:, :, :, None, None, :], (n, h, w, 1, 9, 2))
+    got = np.asarray(deform_conv2d_shared_offset(x, shared, mask9, weight, bias))
+    want = np.asarray(deform_conv2d(x, off_full, mask9[:, :, :, None, :], weight, bias))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_deform_conv_is_differentiable():
     rng = np.random.default_rng(2)
     n, h, w, c, g = 1, 4, 4, 4, 2
