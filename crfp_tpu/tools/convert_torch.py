@@ -107,9 +107,14 @@ def convert_state_dict(state_dict: dict[str, Any], strict: bool = True) -> dict:
     unused = []
     for key, val in state_dict.items():
         v = np.asarray(getattr(val, "numpy", lambda: val)()).astype(np.float32)
-        key = key.replace("module.", "")
-        if key.startswith("spynet.basic_") and ".basic_module." not in key:
-            key = key.replace("basic_", "basic_module.", 1)
+        # strip only the LEADING DataParallel prefix. (The reference strips
+        # with a naive substring replace at save time, trainer.py:278, which
+        # mangles 'basic_module.' into 'basic_' — that is exactly why its
+        # loader needs the basic_ -> basic_module. remap below.)
+        if key.startswith("module."):
+            key = key[len("module.") :]
+        if "basic_" in key and "basic_module." not in key:
+            key = key.replace("basic_", "basic_module.")
         parts = key.split(".")
         top = parts[0]
         rest = parts[1:]
