@@ -106,6 +106,8 @@ def convert_state_dict(state_dict: dict[str, Any], strict: bool = True) -> dict:
     params: dict = {}
     unused = []
     for key, val in state_dict.items():
+        if hasattr(val, "detach"):
+            val = val.detach()
         v = np.asarray(getattr(val, "numpy", lambda: val)()).astype(np.float32)
         # strip only the LEADING DataParallel prefix. (The reference strips
         # with a naive substring replace at save time, trainer.py:278, which
