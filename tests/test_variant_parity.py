@@ -339,6 +339,236 @@ def _inputs(b=1, t=3, h=8, w=8, s=8, seed=0):
     return lrs, fvs, mks
 
 
+class TorchV13V15(nn.Module):
+    """Mirror of CRFP_simple (v13) / CRFP (v15) with hr_dcn=True
+    (/root/reference/model/CRFP.py:816-1099, 1101-1386)."""
+
+    def __init__(self, mid=16, three_way=False):
+        super().__init__()
+        self.mid = mid
+        self.last = mid // 8
+        self.three_way = three_way
+        reps = 3 if three_way else 2
+        self.spynet = TorchFNet()
+        self.dcn_0 = DCNModule(mid, 8, 3, 10)
+        self.dcn_1 = DCNModule(mid, 8, 3, 10, pre_offset=True)
+        self.dcn_2 = DCNModule(mid, 8, 3, 10, pre_offset=True)
+        self.dcn_3 = DCNModule(self.last, 1, 3, 10, repeat=True, pre_offset=True,
+                               interpolate="pixelshuffle")
+        self.encoder_lr = LTE_lr(mid, 3)
+        self.encoder_hr = LTE_lr(self.last, 6)
+        self.conv_tttf = nn.Conv2d(self.last * 2, self.last, 3, 1, 1)
+        self.forward_resblocks_0 = ResBlocks(mid * reps, mid)
+        self.forward_resblocks_1 = ResBlocks(mid * reps, mid)
+        self.forward_resblocks_2 = ResBlocks(mid * reps, mid)
+        self.forward_resblocks_3 = ResBlocks(self.last * reps, self.last)
+        self.downsample = PixelUnShufflePackV2(self.last, mid, 4, 3)
+        self.upsample = PixelShufflePack(mid, mid, 2, 3)
+        self.upsample_post = PixelShufflePack(mid, self.last, 4, 3)
+        self.conv_last = nn.Conv2d(self.last, 3, 3, 1, 1)
+
+    def forward(self, lrs, fvs, mks):
+        n, t, c, h, w = lrs.size()
+        up8 = lambda x: F.interpolate(x, scale_factor=8, mode="bilinear", align_corners=False)
+        up2 = lambda x: F.interpolate(x, scale_factor=2, mode="bilinear", align_corners=False)
+        flows = self.spynet(
+            lrs[:, 1:].reshape(-1, c, h, w), lrs[:, :-1].reshape(-1, c, h, w)
+        ).view(n, t - 1, 2, h, w)
+
+        lv3_zero = lrs.new_zeros(n, self.mid, h * 2, w * 2)
+        hr_zero = lrs.new_zeros(n, self.last, h * 8, w * 8)
+        lrs_lv0 = lrs.view(n * t, c, h, w)
+        lrs_lv3 = up8(lrs_lv0)
+        x_lr = self.encoder_lr(lrs_lv0).view(n, t, self.mid, h, w)
+        mksf = mks.float()
+        fvs = fvs * mksf + lrs_lv3.view(n, t, c, h * 8, w * 8) * (1 - mksf)
+        x_hr = self.encoder_hr(
+            torch.cat((fvs.view(n * t, c, h * 8, w * 8), lrs_lv3), dim=1)
+        ).view(n, t, self.last, h * 8, w * 8)
+
+        state = None  # post-blend HR feature
+        outs = []
+        for i in range(t):
+            mk = mks[:, i].float()
+            lv0 = self.upsample(x_lr[:, i])
+            extra = lambda ws: ([ws] if self.three_way else [])
+            if i > 0:
+                flow = flows[:, i - 1]
+                flow_lv3 = up2(flow) * 2.0
+                flow_lv0 = up8(flow) * 8.0
+                # v13/v15 order: warp the HR state first, downsample the
+                # warped result (CRFP.py:999-1002, 1283-1286)
+                hrw = torch_flow_warp(state, flow_lv0.permute(0, 2, 3, 1))
+                lv3w = self.downsample(hrw)
+                lv3s = self.downsample(state)
+
+                x = lv0
+                off = None
+                for dcn, rb in ((self.dcn_0, self.forward_resblocks_0),
+                                (self.dcn_1, self.forward_resblocks_1),
+                                (self.dcn_2, self.forward_resblocks_2)):
+                    a, off = dcn(x, lv3s, lv3w, flow_lv3, off)
+                    x = rb(torch.cat([x, a] + extra(lv3w), dim=1))
+                x = F.leaky_relu(self.upsample_post(x), 0.1)
+                a, _ = self.dcn_3(x, state, hrw, flow_lv0, off)
+                y = self.forward_resblocks_3(torch.cat([x, a] + extra(hrw), dim=1))
+            else:
+                x = lv0
+                for rb in (self.forward_resblocks_0, self.forward_resblocks_1,
+                           self.forward_resblocks_2):
+                    x = rb(torch.cat([x, lv3_zero] + extra(lv3_zero), dim=1))
+                x = F.leaky_relu(self.upsample_post(x), 0.1)
+                y = self.forward_resblocks_3(torch.cat([x, hr_zero] + extra(hr_zero), dim=1))
+
+            blended = self.conv_tttf(torch.cat([y, x_hr[:, i]], dim=1))
+            y = mk * blended + (1 - mk) * y
+            y = F.leaky_relu(y, 0.1)
+            state = y
+            outs.append(self.conv_last(y) + up8(lrs[:, i]))
+        return torch.stack(outs, dim=1)
+
+
+class TorchLTE_hr3(nn.Module):
+    # /root/reference/model/LTE.py:53-98 (islr=True path)
+    def __init__(self, mid):
+        super().__init__()
+        def two(cin, cout):
+            return nn.Sequential(nn.Conv2d(cin, cout, 3, 1, 1), nn.LeakyReLU(0.1),
+                                 nn.Conv2d(cout, cout, 3, 1, 1), nn.LeakyReLU(0.1))
+        self.slice1 = two(6, mid)
+        self.slice2 = two(mid, mid)
+        self.slice3 = two(mid, mid)
+        self.conv_lv1 = nn.Conv2d(mid, mid, 3, 1, 1)
+        self.conv_lv2 = nn.Conv2d(mid, mid, 3, 1, 1)
+        self.conv_lv3 = nn.Conv2d(mid, mid, 3, 1, 1)
+
+    def forward(self, x):
+        lr = lambda v: F.leaky_relu(v, 0.1)
+        x = self.slice1(x)
+        lv3 = lr(self.conv_lv3(x))
+        x = self.slice2(F.max_pool2d(x, 2, 2))
+        lv2 = lr(self.conv_lv2(x))
+        x = self.slice3(F.max_pool2d(x, 2, 2))
+        lv1 = lr(self.conv_lv1(x))
+        return lv1, lv2, lv3
+
+
+class TorchBasicFVSR(nn.Module):
+    """Mirror of MRCF_simple_v0 / BasicFVSR with hr_dcn=False — the
+    reference's only working branch
+    (/root/reference/model/CRFP_test.py:997-1154)."""
+
+    def __init__(self, mid=16):
+        super().__init__()
+        self.mid = mid
+        self.last = mid // 8
+        self.spynet = TorchFNet()
+        self.dcn_0 = DCNModule(mid, 8, 3, 10)
+        self.dcn_1 = DCNModule(mid, 8, 3, 10, pre_offset=True)
+        self.dcn_2 = DCNModule(mid, 8, 3, 10, pre_offset=True)
+        self.dcn_3 = DCNModule(mid, 8, 3, 10, pre_offset=True)
+        self.encoder_lr = LTE_lr(mid, 3)
+        self.encoder_hr = TorchLTE_hr3(mid)
+        self.conv_tttf = nn.Conv2d(mid * 2, mid, 3, 1, 1)
+        self.forward_resblocks_0 = ResBlocks(mid * 2, mid)
+        self.forward_resblocks_1 = ResBlocks(mid * 2, mid)
+        self.forward_resblocks_2 = ResBlocks(mid * 2, mid)
+        self.forward_resblocks_3 = ResBlocks(mid * 2, mid)
+        self.downsample = PixelUnShufflePackV2(self.last, mid, 4, 3)
+        self.upsample = PixelShufflePack(mid, mid, 2, 3)
+        self.upsample_post = PixelShufflePack(mid, self.last, 4, 3)
+        self.conv_last = nn.Conv2d(self.last, 3, 3, 1, 1)
+
+    def forward(self, lrs, fvs, mks):
+        n, t, c, h, w = lrs.size()
+        up8 = lambda x: F.interpolate(x, scale_factor=8, mode="bilinear", align_corners=False)
+        up2 = lambda x: F.interpolate(x, scale_factor=2, mode="bilinear", align_corners=False)
+        down4 = lambda x: F.interpolate(x, scale_factor=0.25, mode="bilinear", align_corners=False)
+        flows = self.spynet(
+            lrs[:, 1:].reshape(-1, c, h, w), lrs[:, :-1].reshape(-1, c, h, w)
+        ).view(n, t - 1, 2, h, w)
+
+        lv3_zero = lrs.new_zeros(n, self.mid, h * 2, w * 2)
+        lrs_lv0 = lrs.view(n * t, c, h, w)
+        lrs_lv3 = up8(lrs_lv0)
+        x_lr = self.encoder_lr(lrs_lv0).view(n, t, self.mid, h, w)
+        mksf = mks.float()
+        fvs = fvs * mksf + lrs_lv3.view(n, t, c, h * 8, w * 8) * (1 - mksf)
+        x_hr, _, _ = self.encoder_hr(
+            torch.cat((fvs.view(n * t, c, h * 8, w * 8), lrs_lv3), dim=1))
+        x_hr = x_hr.view(n, t, self.mid, h * 2, w * 2)
+
+        p0 = p1 = p2 = p3 = None
+        outs = []
+        for i in range(t):
+            mk2 = down4(mks[:, i].float())
+            lv0 = self.upsample(x_lr[:, i])
+            blended = self.conv_tttf(torch.cat([lv0, x_hr[:, i]], dim=1))
+            lv0 = mk2 * blended + (1 - mk2) * lv0
+            if i > 0:
+                flow_lv3 = up2(flows[:, i - 1]) * 2.0
+                mixed = torch_flow_warp(torch.cat((p0, p1, p2, p3), 1),
+                                        flow_lv3.permute(0, 2, 3, 1))
+                p0w, p1w, p2w, p3w = torch.split(mixed, self.mid, dim=1)
+                a, off = self.dcn_0(lv0, p0, p0w, flow_lv3)
+                p0 = self.forward_resblocks_0(torch.cat([lv0, a], dim=1))
+                a, off = self.dcn_1(p0, p1, p1w, flow_lv3, off)
+                p1 = self.forward_resblocks_1(torch.cat([p0, a], dim=1))
+                a, off = self.dcn_2(p1, p2, p2w, flow_lv3, off)
+                p2 = self.forward_resblocks_2(torch.cat([p1, a], dim=1))
+                a, _ = self.dcn_3(p2, p3, p3w, flow_lv3, off)
+                p3 = self.forward_resblocks_3(torch.cat([p2, a], dim=1))
+            else:
+                p0 = self.forward_resblocks_0(torch.cat([lv0, lv3_zero], dim=1))
+                p1 = self.forward_resblocks_1(torch.cat([p0, lv3_zero], dim=1))
+                p2 = self.forward_resblocks_2(torch.cat([p1, lv3_zero], dim=1))
+                p3 = self.forward_resblocks_3(torch.cat([p2, lv3_zero], dim=1))
+            y = F.leaky_relu(self.upsample_post(p3), 0.1)
+            outs.append(self.conv_last(y) + up8(lrs[:, i]))
+        return torch.stack(outs, dim=1)
+
+
+@pytest.mark.slow
+def test_basic_fvsr_matches_torch_mirror():
+    from crfp_tpu.models import CRFP, ModelConfig
+    from crfp_tpu.tools.convert_torch import convert_state_dict
+
+    tm = TorchBasicFVSR(mid=16)
+    params = convert_state_dict(tm.state_dict())
+    lrs, fvs, mks = _inputs()
+    with torch.no_grad():
+        want = tm(
+            torch.from_numpy(lrs).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(fvs).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(mks).permute(0, 1, 4, 2, 3),
+        ).permute(0, 1, 3, 4, 2).numpy()
+
+    model = CRFP(ModelConfig(variant="basic_fvsr", mid_channels=16, hr_dcn=False))
+    got = np.asarray(model.apply(params, lrs, fvs, mks))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant,three_way", [("v13", False), ("v15", True)])
+def test_v13_v15_match_torch_mirror(variant, three_way):
+    from crfp_tpu.models import CRFP, ModelConfig
+    from crfp_tpu.tools.convert_torch import convert_state_dict
+
+    tm = TorchV13V15(mid=16, three_way=three_way)
+    params = convert_state_dict(tm.state_dict())
+    lrs, fvs, mks = _inputs()
+    with torch.no_grad():
+        want = tm(
+            torch.from_numpy(lrs).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(fvs).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(mks).permute(0, 1, 4, 2, 3),
+        ).permute(0, 1, 3, 4, 2).numpy()
+
+    model = CRFP(ModelConfig(variant=variant, mid_channels=16))
+    got = np.asarray(model.apply(params, lrs, fvs, mks))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
 @pytest.mark.slow
 def test_no_dcn_matches_torch_mirror():
     from crfp_tpu.models import CRFP, ModelConfig
