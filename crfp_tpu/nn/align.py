@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from crfp_tpu.nn.layers import Conv, PixelShufflePack, lrelu
-from crfp_tpu.ops.dcn import deform_conv2d
+from crfp_tpu.ops.dcn import deform_conv2d, deform_conv2d_shared_offset
 from crfp_tpu.ops.resize import upsample as bilinear_upsample
 
 
@@ -99,7 +99,6 @@ class DCNAlign(nn.Module):
             off = raw.reshape(n, h, w, 2, g).transpose(0, 1, 2, 4, 3)  # (n,h,w,g,2)
             off = off.at[..., 0].add(flow[..., 1][..., None])
             off = off.at[..., 1].add(flow[..., 0][..., None])
-            off = jnp.broadcast_to(off[:, :, :, :, None, :], (n, h, w, g, k2, 2))
             if self.offset_only:
                 mask = Conv(g * k2, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
                 mask = jax.nn.sigmoid(mask).reshape(n, h, w, g, k2)
@@ -107,6 +106,14 @@ class DCNAlign(nn.Module):
                 mask = Conv(g, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
                 mask = jax.nn.sigmoid(mask)[:, :, :, :, None]
                 mask = jnp.broadcast_to(mask, (n, h, w, g, k2))
+            # all taps share one offset -> 4x4-patch gather fast path
+            # (deform_conv2d_shared_offset: 16 corner gathers instead of 36)
+            weight = self.param("dcn_weight", _identity_kernel_init, (k, k, m, m))
+            bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
+            aligned = deform_conv2d_shared_offset(
+                pre_x, off[:, :, :, 0, :], mask[:, :, :, 0, :], weight, bias
+            )
+            return aligned, feat
         else:
             raw = Conv(g * 2 * k2, kernel_init=zero, bias_init=zero, name="dcn_offset")(feat)
             raw = self.max_residue_magnitude * jnp.tanh(raw)

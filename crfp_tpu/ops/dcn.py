@@ -67,29 +67,33 @@ def deform_conv2d(
     sy = gy + ty + offset[..., 0]  # (n, h, w, g, k2)
     sx = gx + tx + offset[..., 1]
 
-    # Group-sliced bilinear gather: batch over (n, g).
+    # Group-sliced layout: batch over (n, g).
     xg = x.reshape(n, h, w, g, cpg).transpose(0, 3, 1, 2, 4).reshape(n * g, h, w, cpg)
     sy = sy.transpose(0, 3, 1, 2, 4).reshape(n * g, h, w, k2)
     sx = sx.transpose(0, 3, 1, 2, 4).reshape(n * g, h, w, k2)
-    samp = bilinear_sample(xg, sx, sy, padding_mode="zeros")  # (n*g, h, w, k2, cpg)
-
     mk = mask.transpose(0, 3, 1, 2, 4).reshape(n * g, h, w, k2)
-    samp = samp * mk[..., None]
 
-    # One dense contraction over (g, k2, cpg) -> MXU.
-    samp = samp.reshape(n, g, h, w, k2, cpg).transpose(0, 2, 3, 1, 4, 5)
-    samp = samp.reshape(n, h, w, g * k2 * cpg)
-    w2 = weight.reshape(k2, g, cpg, o).transpose(1, 0, 2, 3).reshape(g * k2 * cpg, o)
     # full-f32 MXU passes: bf16-rounded inputs (TPU default) lose ~2^-8
     # relative accuracy per term, which blows the 0.05 dB parity budget
     prec = None if x.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
-    out = jnp.einsum(
-        "nhwk,ko->nhwo",
-        samp,
-        w2.astype(samp.dtype),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )
+    w2 = weight.reshape(k2, g, cpg, o)
+
+    # accumulate tap by tap: the (n, h, w, g*k2*cpg) sampled tensor is
+    # never materialized (at batch>1 XLA stops fusing the big gather and
+    # that buffer would be ~k2x the feature map in HBM — 18.9 GB for a
+    # batch-8 720p stage)
+    out = jnp.zeros((n, h, w, o), jnp.float32)
+    for k in range(k2):
+        samp = bilinear_sample(xg, sx[..., k], sy[..., k], padding_mode="zeros")
+        samp = samp * mk[..., k][..., None]
+        samp = samp.reshape(n, g, h, w, cpg)
+        out = out + jnp.einsum(
+            "nghwc,gco->nhwo",
+            samp,
+            w2[k].astype(samp.dtype),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)
