@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", type=str, default="REDS")
     p.add_argument("--dataset_dir", type=str, default="/Data/REDS_sharp/")
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--frame_cache", type=str, default=None,
+                   help="directory for the decode-once raw frame cache "
+                        "(crfp_tpu/data/cache.py); unset = decode PNGs per read")
 
     ### model settings
     p.add_argument("--num_res_blocks", type=str, default="4+4+4+4")

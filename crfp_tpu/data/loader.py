@@ -12,9 +12,20 @@ from __future__ import annotations
 import queue
 import threading
 from collections.abc import Iterator
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
+
+_WORKER_DS = None
+
+
+def _worker_init(ds):
+    global _WORKER_DS
+    _WORKER_DS = ds
+
+
+def _worker_get(i):
+    return _WORKER_DS[int(i)]
 
 
 class Loader:
@@ -27,6 +38,7 @@ class Loader:
         drop_last: bool = True,
         prefetch: int = 2,
         seed: int = 0,
+        processes: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -34,6 +46,7 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.processes = processes
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -57,12 +70,23 @@ class Loader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            if self.processes:
+                # sidesteps the GIL for the numpy/fovea sample assembly;
+                # the dataset is shipped once per worker via the initializer
+                pool = ProcessPoolExecutor(
+                    self.num_workers, initializer=_worker_init,
+                    initargs=(self.dataset,),
+                )
+                get = _worker_get
+            else:
+                pool = ThreadPoolExecutor(self.num_workers)
+                get = self.dataset.__getitem__
+            with pool:
                 try:
                     for idx in self._batches():
                         if stop.is_set():
                             return
-                        samples = list(pool.map(self.dataset.__getitem__, idx))
+                        samples = list(pool.map(get, idx))
                         batch = {
                             k: np.stack([s[k] for s in samples]) for k in samples[0]
                         }
@@ -92,10 +116,13 @@ def get_dataloader(args) -> dict[str, Loader]:
         from crfp_tpu.data import vimeo as mod
     else:
         raise SystemExit(f"Dataset '{args.dataset}' is not implemented")
+    # training doesn't need LR_sr (y_only-only) or the pre-multiplied fovea
+    # image: the model blends fvs*mk on device, so HR serves as fvs directly
+    minimal = not getattr(args, "y_only", False)
     return {
         "train": Loader(
-            mod.TrainSet(args), batch_size=args.batch_size, shuffle=True,
-            num_workers=args.num_workers,
+            mod.TrainSet(args, minimal=minimal), batch_size=args.batch_size,
+            shuffle=True, num_workers=args.num_workers,
         ),
         "eval": Loader(mod.EvalSet(args), batch_size=1, num_workers=args.num_workers),
         "test": Loader(mod.TestSet(args), batch_size=1, num_workers=args.num_workers),

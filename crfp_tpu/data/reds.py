@@ -51,6 +51,38 @@ def _to_float(stacked: np.ndarray) -> np.ndarray:
     return stacked.astype(np.float32) / 255.0
 
 
+def _bicubic_upsample(frames: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """(T,H,W,C) uint8 PIL-parity bicubic resize (native when available)."""
+    from crfp_tpu import native
+
+    if native.native_available():
+        return native.resize_bicubic_u8(frames, oh, ow)
+    return np.stack([
+        np.array(PIL.Image.fromarray(im).resize((ow, oh), PIL.Image.BICUBIC))
+        for im in frames
+    ])
+
+
+# bicubic upsample taps stay within +-3 source pixels for integer upscale;
+# a 4-pixel margin around the crop makes crop-then-resize byte-identical
+# to the reference's resize-then-crop (64x less resize work per sample)
+_SR_MARGIN = 4
+
+
+def _bicubic_x8_cropped(
+    lr_win: np.ndarray, rnd_h: int, rnd_w: int, lr_size: int, scale: int
+) -> np.ndarray:
+    t, h, w, c = lr_win.shape
+    m = _SR_MARGIN
+    y0, y1 = max(rnd_h - m, 0), min(rnd_h + lr_size + m, h)
+    x0, x1 = max(rnd_w - m, 0), min(rnd_w + lr_size + m, w)
+    region = np.ascontiguousarray(lr_win[:, y0:y1, x0:x1])
+    up = _bicubic_upsample(region, (y1 - y0) * scale, (x1 - x0) * scale)
+    oy, ox = (rnd_h - y0) * scale, (rnd_w - x0) * scale
+    g = lr_size * scale
+    return up[:, oy : oy + g, ox : ox + g]
+
+
 class _RedsBase:
     def __init__(self, args):
         self.args = args
@@ -58,27 +90,48 @@ class _RedsBase:
         self.gt_size = args.GT_size
         self.fv_size = args.FV_size
         self.n_frames = args.N_frames
+        cache_dir = getattr(args, "frame_cache", None)
+        if cache_dir:
+            from crfp_tpu.data.cache import FrameCache
+
+            self._cache = FrameCache(cache_dir)
+        else:
+            self._cache = None
+
+    def _load_frames(self, files, crop=None) -> np.ndarray:
+        """(T, H, W, C) uint8 window, via the raw-frame cache when enabled.
+        crop: optional (y0, y1, x0, x1) pushed into the memmap read."""
+        if self._cache is not None:
+            return self._cache.load_window(files, crop)
+        frames = np.stack([_load(f) for f in files])
+        if crop is not None:
+            y0, y1, x0, x1 = crop
+            frames = np.ascontiguousarray(frames[:, y0:y1, x0:x1])
+        return frames
+
+    def _frame_shape(self, path):
+        if self._cache is not None:
+            return self._cache.frame_shape(path)
+        return np.array(PIL.Image.open(path)).shape
 
     def _load_window(self, gt_files, lr_files):
-        gt = [_load(f) for f in gt_files]
-        h, w, _ = gt[0].shape
-        lr = [_load(f) for f in lr_files]
-        from crfp_tpu import native
-
-        if native.native_available():
-            # C++ OpenMP bicubic over the whole window (PIL byte-parity)
-            lr_sr = list(native.resize_bicubic_u8(np.stack(lr), h, w))
-        else:
-            lr_sr = [
-                np.array(PIL.Image.fromarray(im).resize((w, h), PIL.Image.BICUBIC))
-                for im in lr
-            ]
-        return gt, lr, lr_sr
+        gt = self._load_frames(gt_files)
+        h, w = gt.shape[1:3]
+        lr = self._load_frames(lr_files)
+        lr_sr = _bicubic_upsample(lr, h, w)
+        return list(gt), list(lr), list(lr_sr)
 
 
 class TrainSet(_RedsBase):
-    def __init__(self, args, rng: np.random.Generator | None = None):
+    """minimal=True drops LR_sr (only consumed by y_only training,
+    trainer.py:239-243) and the pre-multiplied fovea image Ref (the model
+    blends ``fvs*mk`` on device anyway, so HR*mask can be formed on-chip —
+    see main.py). Cuts per-sample host bytes ~2.5x."""
+
+    def __init__(self, args, rng: np.random.Generator | None = None,
+                 minimal: bool = False):
         super().__init__(args)
+        self.minimal = minimal and not getattr(args, "y_only", False)
         self.rng = rng or np.random.default_rng()
         root = args.dataset_dir
         lroot = _lr_root(root, self.scale)
@@ -102,18 +155,38 @@ class TrainSet(_RedsBase):
         return len(self.gt_windows)
 
     def __getitem__(self, index):
-        gt, lr, lr_sr = self._load_window(self.gt_windows[index], self.lr_windows[index])
+        # LR frames are small (h/8 x w/8) — load the window whole; the GT
+        # window is cropped inside the read so full 720p+ frames are never
+        # copied out of the cache
+        lr_win = self._load_frames(self.lr_windows[index])
         lr_size = self.gt_size // self.scale
 
-        h, w, _ = lr[0].shape
+        h, w = lr_win.shape[1:3]
         rnd_h = int(self.rng.integers(0, max(0, h - lr_size) + 1))
         rnd_w = int(self.rng.integers(0, max(0, w - lr_size) + 1))
-        lr = [v[rnd_h : rnd_h + lr_size, rnd_w : rnd_w + lr_size] for v in lr]
+        lr = np.ascontiguousarray(lr_win[:, rnd_h : rnd_h + lr_size, rnd_w : rnd_w + lr_size])
         rh, rw = rnd_h * self.scale, rnd_w * self.scale
-        gt = [v[rh : rh + self.gt_size, rw : rw + self.gt_size] for v in gt]
-        lr_sr = [v[rh : rh + self.gt_size, rw : rw + self.gt_size] for v in lr_sr]
-
-        gt = np.stack(gt)
+        gt = self._load_frames(
+            self.gt_windows[index], (rh, rh + self.gt_size, rw, rw + self.gt_size)
+        )
+        if self.minimal:
+            gtf = _to_float(gt)
+            _, ref_sp, _ = fovea_generator(
+                gt, method="Nanascan", fv_hw=(self.fv_size, self.fv_size), rng=self.rng
+            )
+            sample = {
+                "LR": _to_float(np.stack(lr)),
+                "HR": gtf,
+                "Ref_sp": ref_sp.astype(np.float32),
+            }
+            if self.rng.random() < 0.5:
+                sample = {k: v[:, :, ::-1].copy() for k, v in sample.items()}
+            if self.rng.random() < 0.5:
+                sample = {k: v[:, ::-1].copy() for k, v in sample.items()}
+            return sample
+        # crop-then-resize with a tap margin == the reference's
+        # full-frame-resize-then-crop, byte for byte
+        lr_sr = _bicubic_x8_cropped(lr_win, rnd_h, rnd_w, lr_size, self.scale)
         ref, ref_sp, _ = fovea_generator(
             gt, method="Nanascan", fv_hw=(self.fv_size, self.fv_size), rng=self.rng
         )

@@ -84,8 +84,10 @@ class _VimeoBase:
 class TrainSet(_VimeoBase):
     list_file = "sep_trainlist.txt"
 
-    def __init__(self, args, rng: np.random.Generator | None = None):
+    def __init__(self, args, rng: np.random.Generator | None = None,
+                 minimal: bool = False):
         super().__init__(args)
+        self.minimal = minimal and not getattr(args, "y_only", False)
         self.rng = rng or np.random.default_rng()
 
     def __getitem__(self, index):
@@ -108,9 +110,10 @@ class TrainSet(_VimeoBase):
         sample = {
             "LR": _to_float(np.stack(lr)),
             "HR": _to_float(gt),
-            "Ref": _to_float(ref),
             "Ref_sp": ref_sp.astype(np.float32),
         }
+        if not self.minimal:
+            sample["Ref"] = _to_float(ref)
         if self.rng.random() < 0.5:
             sample = {k: v[:, :, ::-1].copy() for k, v in sample.items()}
         if self.rng.random() < 0.5:

@@ -45,9 +45,9 @@ def _load() -> ctypes.CDLL | None:
             f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
             i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
             c = ctypes.c_int
-            lib.resize_bicubic_u8.argtypes = [u8p, c, c, c, c, u8p, c, c]
-            lib.crop_normalize_flip_f32.argtypes = [u8p, c, c, c, c, f32p, c, c, c, c, c, c]
-            lib.fill_fovea_f32.argtypes = [f32p, c, c, c, c, i32p, c, c, f32p, f32p]
+            lib.resize_bicubic_u8.argtypes = [u8p, c, c, c, c, u8p, c, c, c]
+            lib.crop_normalize_flip_f32.argtypes = [u8p, c, c, c, c, f32p, c, c, c, c, c, c, c]
+            lib.fill_fovea_f32.argtypes = [f32p, c, c, c, c, i32p, c, c, f32p, f32p, c]
             _lib = lib
         except Exception as e:  # no compiler / build error -> python fallback
             print(f"crfp_native build failed ({e}); falling back to numpy/PIL")
@@ -59,20 +59,24 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def resize_bicubic_u8(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
-    """(T, H, W, C) uint8 -> (T, dh, dw, C) uint8, PIL-compatible bicubic."""
+def resize_bicubic_u8(src: np.ndarray, dh: int, dw: int, nthreads: int = 1) -> np.ndarray:
+    """(T, H, W, C) uint8 -> (T, dh, dw, C) uint8, PIL-compatible bicubic.
+
+    nthreads: OpenMP threads. Keep 1 when called from loader worker
+    threads (the pool already parallelizes across samples); raise it for
+    single-threaded bulk use."""
     lib = _load()
     assert lib is not None
     src = np.ascontiguousarray(src, np.uint8)
     t, sh, sw, c = src.shape
     dst = np.empty((t, dh, dw, c), np.uint8)
-    lib.resize_bicubic_u8(src, t, sh, sw, c, dst, dh, dw)
+    lib.resize_bicubic_u8(src, t, sh, sw, c, dst, dh, dw, nthreads)
     return dst
 
 
 def crop_normalize_flip_f32(
     src: np.ndarray, y0: int, x0: int, ch: int, cw: int,
-    hflip: bool = False, vflip: bool = False,
+    hflip: bool = False, vflip: bool = False, nthreads: int = 1,
 ) -> np.ndarray:
     lib = _load()
     assert lib is not None
@@ -80,11 +84,11 @@ def crop_normalize_flip_f32(
     t, h, w, c = src.shape
     dst = np.empty((t, ch, cw, c), np.float32)
     lib.crop_normalize_flip_f32(src, t, h, w, c, dst, y0, x0, ch, cw,
-                                int(hflip), int(vflip))
+                                int(hflip), int(vflip), nthreads)
     return dst
 
 
-def fill_fovea_f32(gt: np.ndarray, coords: np.ndarray, fh: int, fw: int):
+def fill_fovea_f32(gt: np.ndarray, coords: np.ndarray, fh: int, fw: int, nthreads: int = 1):
     lib = _load()
     assert lib is not None
     gt = np.ascontiguousarray(gt, np.float32)
@@ -92,5 +96,5 @@ def fill_fovea_f32(gt: np.ndarray, coords: np.ndarray, fh: int, fw: int):
     coords = np.ascontiguousarray(coords, np.int32)
     fv = np.empty_like(gt)
     mask = np.empty((t, h, w), np.float32)
-    lib.fill_fovea_f32(gt, t, h, w, c, coords, fh, fw, fv, mask)
+    lib.fill_fovea_f32(gt, t, h, w, c, coords, fh, fw, fv, mask, nthreads)
     return fv, mask[..., None]

@@ -81,11 +81,12 @@ extern "C" {
 
 // src: (T, sh, sw, c) uint8; dst: (T, dh, dw, c) uint8
 void resize_bicubic_u8(const uint8_t* src, int t, int sh, int sw, int c,
-                       uint8_t* dst, int dh, int dw) {
+                       uint8_t* dst, int dh, int dw, int nthreads) {
   Taps h_taps = precompute(sw, dw);
   Taps v_taps = precompute(sh, dh);
+  if (nthreads < 1) nthreads = 1;
 
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(nthreads)
   for (int f = 0; f < t; ++f) {
     const uint8_t* sp = src + static_cast<size_t>(f) * sh * sw * c;
     uint8_t* dp = dst + static_cast<size_t>(f) * dh * dw * c;
@@ -128,9 +129,10 @@ void resize_bicubic_u8(const uint8_t* src, int t, int sh, int sw, int c,
 // cropped at (y0, x0), optionally flipped.
 void crop_normalize_flip_f32(const uint8_t* src, int t, int h, int w, int c,
                              float* dst, int y0, int x0, int ch_, int cw,
-                             int hflip, int vflip) {
+                             int hflip, int vflip, int nthreads) {
   const float inv = 1.0f / 255.0f;
-#pragma omp parallel for schedule(static)
+  if (nthreads < 1) nthreads = 1;
+#pragma omp parallel for schedule(static) num_threads(nthreads)
   for (int f = 0; f < t; ++f) {
     const uint8_t* sp = src + static_cast<size_t>(f) * h * w * c;
     float* dp = dst + static_cast<size_t>(f) * ch_ * cw * c;
@@ -150,10 +152,11 @@ void crop_normalize_flip_f32(const uint8_t* src, int t, int h, int w, int c,
 // coords: (T, 2) int32 top-left (y, x); fovea window fh x fw.
 void fill_fovea_f32(const float* gt, int t, int h, int w, int c,
                     const int32_t* coords, int fh, int fw, float* fv,
-                    float* mask) {
+                    float* mask, int nthreads) {
   std::memset(fv, 0, sizeof(float) * static_cast<size_t>(t) * h * w * c);
   std::memset(mask, 0, sizeof(float) * static_cast<size_t>(t) * h * w);
-#pragma omp parallel for schedule(static)
+  if (nthreads < 1) nthreads = 1;
+#pragma omp parallel for schedule(static) num_threads(nthreads)
   for (int f = 0; f < t; ++f) {
     int y0 = std::max(coords[f * 2], 0);
     int x0 = std::max(coords[f * 2 + 1], 0);

@@ -67,10 +67,13 @@ def train(args, logger):
     t0 = time.time()
     for epoch in range(args.num_epochs):
         for batch in loaders["train"]:
+            hr = jnp.asarray(batch["HR"])
             jbatch = {
                 "lr": jnp.asarray(batch["LR"]),
-                "fv": jnp.asarray(batch["Ref"]),
-                "hr": jnp.asarray(batch["HR"]),
+                # fvs enters the model only as fvs*mk, so the raw HR is an
+                # exact substitute for the pre-multiplied fovea image
+                "fv": jnp.asarray(batch["Ref"]) if "Ref" in batch else hr,
+                "hr": hr,
                 "mk": jnp.asarray(batch["Ref_sp"]),
             }
             if state is None:
