@@ -31,18 +31,22 @@ def test_forward_shapes(variant):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
-@pytest.mark.parametrize("variant", ["v13", "v18", "v18_cra", "no_dcn", "basic_fvsr"])
+# forward-math correctness of every variant is covered by the torch
+# mirrors in test_variant_parity; streaming-vs-batch here exercises the
+# state-threading wiring, for which three representative state layouts
+# (single-state, DSV split, 4-parallel-state) suffice
+@pytest.mark.parametrize("variant", ["v13", "v18", "basic_fvsr"])
 def test_streaming_matches_batch(variant):
     hr_dcn = variant not in ("no_dcn", "basic_fvsr")
     cfg = ModelConfig(variant=variant, mid_channels=16, hr_dcn=hr_dcn)
     model = CRFP(cfg)
-    lrs, fvs, mks = _inputs(t=4)
+    lrs, fvs, mks = _inputs(t=3)
     params = model.init(jax.random.PRNGKey(1), lrs, fvs, mks)
     batch_out = np.asarray(model.apply(params, lrs, fvs, mks))
 
     runner = StreamingRunner(model, params, donate=False)
     outs = []
-    for i in range(4):
+    for i in range(lrs.shape[1]):
         outs.append(np.asarray(runner(lrs[:, i], fvs[:, i], mks[:, i])))
     stream_out = np.stack(outs, axis=1)
     np.testing.assert_allclose(stream_out, batch_out, atol=2e-5, rtol=1e-5)
