@@ -80,6 +80,16 @@ def combine_gifs(paths: list[str], out_path: str, fps: int = 7, axis: int = 1):
             writer.append_data(np.concatenate(row, axis=axis))
 
 
+def result_comp(left: np.ndarray, right: np.ndarray, split_x: int) -> np.ndarray:
+    """Side-by-side comparison frame: left image up to column split_x, right
+    image after, with a white separator column (reference trainer.py
+    result_comp). Inputs (H, W, 3) uint8."""
+    out = right.copy()
+    out[:, :split_x] = left[:, :split_x]
+    out[:, split_x] = 255
+    return out
+
+
 def _make_colorwheel() -> np.ndarray:
     """Baker et al. ICCV'07 color wheel (utils.py:339-383)."""
     RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
