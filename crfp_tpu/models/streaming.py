@@ -16,7 +16,6 @@ state-less branch — identical math).
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from crfp_tpu.nn.layers import Conv, lrelu
+from crfp_tpu.nn.layers import Conv
 from crfp_tpu.ops.resize import avg_pool_2x, resize_bilinear, upsample
 from crfp_tpu.ops.warp import flow_warp
 
