@@ -39,22 +39,26 @@ def main() -> None:
     )
     params = init_params(jax.random.PRNGKey(0))
 
-    runner = StreamingRunner(model, params)
-    # warm-up: compile step0 + step, then settle
-    runner(lr, fv, mk)
-    for _ in range(10):
-        out = runner(lr, fv, mk)
-    jax.block_until_ready(out)
+    from crfp_tpu.bench.profile import force_sync
 
-    # best-of-3 windows: the axon tunnel occasionally has multi-second
-    # degraded episodes that would otherwise corrupt the measurement
-    reps = 30
-    dt = float("inf")
+    runner = StreamingRunner(model, params)
+    # warm-up: compile step0 + step, then settle.
+    # NOTE: jax.block_until_ready does NOT synchronize on the axon remote
+    # backend (docs/PERF.md); force_sync fetches one scalar of the result,
+    # which is the only true barrier here.
+    out = runner(lr, fv, mk)
     for _ in range(3):
+        out = runner(lr, fv, mk)
+    force_sync(out)
+
+    # best-of-2 windows: the tunnel occasionally has degraded episodes
+    reps = 5
+    dt = float("inf")
+    for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(reps):
             out = runner(lr, fv, mk)
-        jax.block_until_ready(out)
+        force_sync(out)
         dt = min(dt, (time.perf_counter() - t0) / reps)
     fps = 1.0 / dt
 

@@ -13,6 +13,7 @@ import time
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 
 
 @contextlib.contextmanager
@@ -26,18 +27,32 @@ def trace(logdir: str = "/tmp/crfp_trace"):
         jax.profiler.stop_trace()
 
 
-def timed(fn, *args, iters: int = 10, warmup: int = 3, trials: int = 3) -> tuple[Any, float]:
-    """Best-of-trials average seconds per call (tunnel-jitter robust)."""
+def force_sync(x) -> float:
+    """TRUE device synchronization.
+
+    On the axon remote backend ``jax.block_until_ready`` returns before
+    execution finishes (measured: a 17.5 s computation "blocks" in 0.1 ms),
+    silently turning benchmarks into enqueue-rate measurements. Fetching a
+    scalar derived from the result is the only reliable barrier. Always use
+    this (or fetch real outputs) when timing on this backend.
+    """
+    leaf = jax.tree.leaves(x)[0]
+    # slice ON DEVICE first: fetch exactly one scalar, not the whole array
+    return float(leaf.reshape(-1)[0])
+
+
+def timed(fn, *args, iters: int = 3, warmup: int = 1, trials: int = 2) -> tuple[Any, float]:
+    """Best-of-trials average seconds per call with TRUE synchronization."""
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force_sync(out)
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        force_sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return out, best
 

@@ -6,12 +6,12 @@ at /root/reference/model/CRFP.py:6 and driven by DCN_module at
 k*k bilinear samples are gathered at ``p + p_k + offset_k`` per deformable
 group, scaled by a sigmoid mask, then contracted with the conv weight.
 
-TPU-first formulation: the irregular gather is expressed once per
-(group, tap) as a batched bilinear sample (four flat gathers), after which
-the entire convolution collapses into ONE dense matmul over the
-``groups * k*k * channels_per_group`` axis — putting all FLOPs on the MXU.
-XLA autodiff of the gather yields the scatter-add backward, so the op is
-trainable without a custom VJP.
+TPU-first formulation: one (2,2,C)-slice gather per (group, tap) sample
+(slice COUNT dominates XLA TPU gather cost — docs/PERF.md), accumulated
+tap by tap into an MXU contraction so the k2-wide sampled tensor never
+materializes. XLA autodiff of the gather yields the scatter-add backward,
+so the op is trainable without a custom VJP (slowly — the gathers/scatters
+bound both directions; see docs/PERF.md).
 
 Offset convention (structured, not torch's packed channels):
 ``offset[..., 0] = dy``, ``offset[..., 1] = dx`` per (group, tap), taps in
@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from crfp_tpu.ops.warp import bilinear_sample
+from crfp_tpu.ops.warp import bilinear_sample, bilinear_sample_patch
 
 
 def deform_conv2d(
@@ -84,7 +84,7 @@ def deform_conv2d(
     # batch-8 720p stage)
     out = jnp.zeros((n, h, w, o), jnp.float32)
     for k in range(k2):
-        samp = bilinear_sample(xg, sx[..., k], sy[..., k], padding_mode="zeros")
+        samp = bilinear_sample_patch(xg, sx[..., k], sy[..., k])
         samp = samp * mk[..., k][..., None]
         samp = samp.reshape(n, g, h, w, cpg)
         out = out + jnp.einsum(
@@ -138,21 +138,39 @@ def deform_conv2d_shared_offset(
     y0 = fy0.astype(jnp.int32)
     x0 = fx0.astype(jnp.int32)
 
-    flat = x.reshape(n, h * w, c)
+    # ONE (kh+1, kw+1, C) slice gather per pixel instead of (kh+1)*(kw+1)
+    # row gathers: XLA TPU gather cost is per-slice (~tens of ns), so slice
+    # count, not byte count, dominates (docs/PERF.md). The operand is
+    # zero-padded so every PARTIALLY-valid patch gathers unclamped, making
+    # the within-patch tap indices static; fully-out-of-range patches clamp
+    # and are killed by the validity masks.
+    ph, pw = kh + 1, kw + 1
+    pady = pad_y + 2
+    padx = pad_x + 2
+    xp = jnp.pad(x, ((0, 0), (pady, pady), (padx, padx), (0, 0)))
+    hp, wp = h + 2 * pady, w + 2 * padx
+    sy0 = jnp.clip(y0 - pad_y + pady, 0, hp - ph)
+    sx0 = jnp.clip(x0 - pad_x + padx, 0, wp - pw)
+
+    def gather_one(xb, syb, sxb):
+        starts = jnp.stack([syb.reshape(-1), sxb.reshape(-1)], axis=-1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+        )
+        return jax.lax.gather(
+            xb, starts, dn, slice_sizes=(ph, pw, c),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+
+    patches = jax.vmap(gather_one)(xp, sy0, sx0)  # (n, h*w, ph, pw, c)
+    patches = patches.reshape(n, h, w, ph, pw, c)
 
     def fetch(dy, dx):
         yy = y0 + dy
         xx = x0 + dx
         valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
-        idx = (jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)).reshape(n, h * w)
-        v = jnp.take_along_axis(flat, idx[:, :, None], axis=1).reshape(n, h, w, c)
+        v = patches[:, :, :, pad_y + dy, pad_x + dx, :]
         return v * valid[..., None]
-
-    # 4x4 integer patch around q: rows/cols pad-1 .. pad+2 relative to q
-    patch = {}
-    for a in range(kh + 1):
-        for b in range(kw + 1):
-            patch[(a, b)] = fetch(a - pad_y, b - pad_x)
 
     wy = (1.0 - ry, ry)
     wx = (1.0 - rx, rx)
@@ -162,7 +180,7 @@ def deform_conv2d_shared_offset(
         samp = jnp.zeros((n, h, w, c), jnp.float32)
         for dy in range(2):
             for dx in range(2):
-                samp = samp + wy[dy] * wx[dx] * patch[(ty + dy, tx + dx)]
+                samp = samp + wy[dy] * wx[dx] * fetch(ty + dy - pad_y, tx + dx - pad_x)
         samp = samp * mask[..., t : t + 1]
         out = out + jnp.einsum(
             "nhwc,co->nhwo",

@@ -1,10 +1,12 @@
-"""Pallas DCN: intentionally delegated to the XLA formulation.
+"""Pallas DCN: currently delegated to the XLA gather formulation.
 
-See docs/PERF.md: XLA fuses the bilinear gathers into the mask-multiply
-and MXU contraction (the 9x sampled tensor never hits HBM), and Mosaic
-has no vector gather, so an in-kernel gather would scalarize. The
-TPU-native DCN is crfp_tpu.ops.dcn.deform_conv2d (+ the shared-offset
-4x4-patch variant for repeat mode).
+Mosaic has no vector gather in this environment, so an in-kernel gather
+would scalarize. The DCN is gather-bound at ~10-30 ns per XLA gather
+slice (true-sync measurement, docs/PERF.md); crfp_tpu.ops.dcn minimizes
+slice count (patch gathers, the shared-offset 4x4 path, tap
+accumulation). The interpolation-matrix MXU kernel that removes the
+gathers entirely is specified in docs/PERF.md (Roadmap) and will live
+here.
 """
 
 from crfp_tpu.ops.dcn import deform_conv2d as deform_conv2d_pallas

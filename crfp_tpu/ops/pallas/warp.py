@@ -1,12 +1,13 @@
-"""Pallas flow-warp: intentionally delegated to the XLA formulation.
+"""Pallas flow-warp: currently delegated to the XLA gather formulation.
 
-Measured on the target chip (docs/PERF.md): XLA's native gather executes
-the bilinear warp at ~220 G samples/s (HBM roofline for 4-corner reads),
-and Mosaic rejects vector gathers inside kernels in this environment — a
-hand-written kernel would have to scalarize the gather and regress by
-orders of magnitude. The TPU-native implementation of this op IS
-crfp_tpu.ops.warp.flow_warp; this alias exists so kernel-level callers
-have a stable import point if a Mosaic gather primitive lands later.
+Mosaic rejects vector gathers inside kernels in this environment, so a
+Pallas kernel would have to scalarize the gather. XLA's gather runs at
+~10-30 ns per slice (true-sync measurement, docs/PERF.md) — slow in
+absolute terms but still the best available path for unbounded
+displacements; crfp_tpu.ops.warp provides the slice-count-minimized
+formulations (bilinear_sample_patch). The planned interpolation-matrix
+MXU kernel (docs/PERF.md Roadmap) will replace this alias for bounded
+displacements.
 """
 
 from crfp_tpu.ops.warp import flow_warp as flow_warp_pallas

@@ -85,6 +85,57 @@ def bilinear_sample(
     return out.reshape(n, *spatial, c).astype(x.dtype)
 
 
+def bilinear_sample_patch(x: jax.Array, sx: jax.Array, sy: jax.Array) -> jax.Array:
+    """bilinear_sample (zeros padding) via ONE (2,2,C)-slice gather per
+    sample instead of four row gathers.
+
+    XLA TPU gather cost is dominated by slice COUNT (~10-30 ns each,
+    docs/PERF.md), so fetching the 2x2 corner patch in one slice is ~1.4x
+    faster at deformable-conv shapes. The operand is zero-padded by 2 so
+    partially-valid patches gather unclamped with static corner indices.
+    """
+    n, h, w, c = x.shape
+    spatial = sx.shape[1:]
+    sx = sx.reshape(n, -1).astype(jnp.float32)
+    sy = sy.reshape(n, -1).astype(jnp.float32)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    P = 2
+    xp = jnp.pad(x, ((0, 0), (P, P), (P, P), (0, 0)))
+    hp, wp = h + 2 * P, w + 2 * P
+    s_y = jnp.clip(y0i + P, 0, hp - 2)
+    s_x = jnp.clip(x0i + P, 0, wp - 2)
+
+    def g1(xb, syb, sxb):
+        starts = jnp.stack([syb, sxb], axis=-1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+        )
+        return jax.lax.gather(
+            xb, starts, dn, slice_sizes=(2, 2, c), mode=jax.lax.GatherScatterMode.CLIP
+        )
+
+    p = jax.vmap(g1)(xp, s_y, s_x)  # (n, N, 2, 2, c)
+
+    def valid(dy, dx):
+        return (
+            ((y0i + dy) >= 0) & ((y0i + dy) < h) & ((x0i + dx) >= 0) & ((x0i + dx) < w)
+        )[..., None]
+
+    out = (
+        p[:, :, 0, 0] * valid(0, 0) * (1 - fy) * (1 - fx)
+        + p[:, :, 0, 1] * valid(0, 1) * (1 - fy) * fx
+        + p[:, :, 1, 0] * valid(1, 0) * fy * (1 - fx)
+        + p[:, :, 1, 1] * valid(1, 1) * fy * fx
+    )
+    return out.reshape(n, *spatial, c).astype(x.dtype)
+
+
 def flow_warp(x: jax.Array, flow: jax.Array, padding_mode: str = "zeros") -> jax.Array:
     """Warp NHWC ``x`` by ``flow`` (N,H,W,2) with channels (dx, dy) in pixels."""
     n, h, w, _ = x.shape
