@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_mag", type=float, default=10.0)
     p.add_argument("--flow_net", type=str, default="fnet", choices=["fnet", "spynet"])
     p.add_argument("--remat", type=str2bool, default=True)
+    p.add_argument("--dcn_window", type=int, default=None,
+                   help="gather-free windowed DCN: clamp alignment "
+                        "displacements to +-N px and sample via MXU "
+                        "interpolation matrices (~3.5x faster; None = exact)")
 
     ### loss settings
     p.add_argument("--rec_w", type=float, default=1.0)
@@ -133,6 +137,7 @@ def model_config(args) -> ModelConfig:
         max_residue_magnitude=args.max_mag,
         flow_net=args.flow_net,
         remat=args.remat,
+        dcn_window=args.dcn_window,
     )
 
 

@@ -75,6 +75,11 @@ class ModelConfig:
     max_residue_magnitude: float = 10.0
     flow_net: str = "fnet"  # 'fnet' | 'spynet'
     remat: bool = False  # rematerialize each scan step during training
+    # gather-free windowed DCN for the 1/4-res alignment stages: clamps
+    # sample displacements to +-dcn_window pixels and runs the bilinear
+    # sampling as MXU interpolation matrices — ~3.5x faster than the exact
+    # gather path on this TPU (docs/PERF.md). None = exact gathers.
+    dcn_window: int | None = None
 
     @property
     def last_channels(self) -> int:
@@ -119,9 +124,11 @@ class CRFP(nn.Module):
             self.dcn_2 = PlainAlign(m)
             self.dcn_3 = PlainAlign(m)
         else:
-            self.dcn_0 = DCNAlign(m, dg, dk, mag)
-            self.dcn_1 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop)
-            self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop)
+            self.dcn_0 = DCNAlign(m, dg, dk, mag, window=cfg.dcn_window)
+            self.dcn_1 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
+                                  window=cfg.dcn_window)
+            self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
+                                  window=cfg.dcn_window)
             if cfg.hr_dcn:
                 self.dcn_3 = DCNAlign(
                     last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,

@@ -55,6 +55,9 @@ class DCNAlign(nn.Module):
     pre_offset: bool = False
     interpolate: str = "none"  # 'none' | 'bilinear' | 'pixelshuffle'
     offset_only: bool = False
+    # when set, use the gather-free windowed DCN (displacements clamped to
+    # +-window; docs/PERF.md) instead of the exact gather formulation
+    window: int | None = None
 
     @nn.compact
     def __call__(
@@ -125,5 +128,12 @@ class DCNAlign(nn.Module):
 
         weight = self.param("dcn_weight", _identity_kernel_init, (k, k, m, m))
         bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
-        aligned = deform_conv2d(pre_x, off, mask, weight, bias)
+        if self.window is not None:
+            from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
+
+            aligned = deform_conv2d_windowed(
+                pre_x, off, mask, weight, bias, max_displacement=self.window
+            )
+        else:
+            aligned = deform_conv2d(pre_x, off, mask, weight, bias)
         return aligned, feat

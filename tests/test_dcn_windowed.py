@@ -1,0 +1,41 @@
+"""Windowed (gather-free) DCN vs the exact gather formulation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crfp_tpu.ops.dcn import deform_conv2d
+from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
+
+
+@pytest.mark.parametrize("g,c,o", [(2, 8, 8), (1, 4, 4)])
+def test_windowed_matches_gather_within_clamp(g, c, o):
+    rng = np.random.default_rng(0)
+    n, h, w = 1, 20, 28
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-5, 5, (n, h, w, g, 9, 2)), jnp.float32)
+    mk = jnp.asarray(rng.uniform(0, 1, (n, h, w, g, 9)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, o)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((o,)), jnp.float32)
+
+    want = np.asarray(deform_conv2d(x, off, mk, wt, b))
+    got = np.asarray(
+        deform_conv2d_windowed(x, off, mk, wt, b, max_displacement=8, band=8, xtile=16)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_windowed_clamps_beyond_window():
+    rng = np.random.default_rng(1)
+    n, h, w, c = 1, 16, 16, 4
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    off_far = jnp.full((n, h, w, 1, 9, 2), 50.0, jnp.float32)
+    mk = jnp.ones((n, h, w, 1, 9), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.2, jnp.float32)
+    # equals the exact path evaluated with offsets clamped to +-D
+    want = np.asarray(deform_conv2d(x, jnp.clip(off_far, -4, 4), mk, wt, None))
+    got = np.asarray(
+        deform_conv2d_windowed(x, off_far, mk, wt, None, max_displacement=4, band=8, xtile=8)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+    assert np.isfinite(got).all()
