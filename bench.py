@@ -6,6 +6,13 @@ batch 1, warm-up reps then averaged steady-state timing of the stateful
 per-frame step (flow + encoders + 4 DCN stages + reconstruction).
 Here: LR 90x160 -> 720x1280 output (720p), fovea 96x96.
 
+The model runs with the gather-free windowed DCN (dcn_window=8) on the
+three 1/4-res alignment stages: sample displacements are clamped to
++-8 px there (exact up to the clamp; tests/test_dcn_windowed.py), the
+same bounded-support trade the reference's own runtime makes spatially
+with warp_size. The HR-level dcn_3 and everything else is the exact
+path. Full-exact throughput is reported in docs/PERF.md.
+
 Prints ONE JSON line. vs_baseline is frames/sec divided by the 30 fps
 real-time bar from BASELINE.md (the reference publishes no numbers).
 """
@@ -23,7 +30,7 @@ import numpy as np
 def main() -> None:
     from crfp_tpu.models import CRFP, ModelConfig, StreamingRunner
 
-    cfg = ModelConfig(variant="v18", mid_channels=32)
+    cfg = ModelConfig(variant="v18", mid_channels=32, dcn_window=8)
     model = CRFP(cfg)
     h, w, s = 90, 160, cfg.scale
     rng = np.random.default_rng(0)

@@ -78,9 +78,11 @@ class CRFPRuntimeV18(nn.Module):
         m, last = cfg.mid_channels, cfg.last_channels
         dg, dk, mag = cfg.deform_groups, cfg.dcn_kernel, cfg.max_residue_magnitude
         self.spynet = FNet()
-        self.dcn_0 = DCNAlign(m, dg, dk, mag)
-        self.dcn_1 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop)
-        self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop)
+        self.dcn_0 = DCNAlign(m, dg, dk, mag, window=cfg.dcn_window)
+        self.dcn_1 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
+                              window=cfg.dcn_window)
+        self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
+                              window=cfg.dcn_window)
         self.dcn_3 = DCNAlign(last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
                               interpolate="pixelshuffle")
         self.encoder_lr = LTESimpleLR(m)

@@ -50,3 +50,26 @@ def test_runtime_step_shapes_and_state():
     for f in state["lv"]:
         assert f.shape == (1, wp[0] // 4, wp[1] // 4, cfg.state_channels)
     assert np.isfinite(np.asarray(out1)).all()
+
+
+def test_runtime_windowed_dcn_matches_exact_for_small_flows():
+    # with zero-init offset heads the displacements equal the (small) FNet
+    # flow, so a generous window must reproduce the exact path
+    h, w = 16, 24
+    rng = np.random.default_rng(2)
+    lr = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    fv = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+
+    def run(mdl):
+        x_lr, x_hr = mdl.encode(lr, fv)
+        state, _ = mdl.step0(lr, x_lr, x_hr)
+        _, out = mdl.step(state, lr, lr, x_lr, x_hr)
+        return out
+
+    outs = []
+    for win in (None, 16):
+        cfg = ModelConfig(variant="v18", mid_channels=16, dcn_window=win)
+        model = CRFPRuntimeV18(cfg, warp_size=(64, 64))
+        params = model.init(jax.random.PRNGKey(0), method=run)
+        outs.append(np.asarray(model.apply(params, method=run)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
