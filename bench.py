@@ -6,12 +6,16 @@ batch 1, warm-up reps then averaged steady-state timing of the stateful
 per-frame step (flow + encoders + 4 DCN stages + reconstruction).
 Here: LR 90x160 -> 720x1280 output (720p), fovea 96x96.
 
-The model runs with the gather-free windowed DCN (dcn_window=8) on the
-three 1/4-res alignment stages: sample displacements are clamped to
-+-8 px there (exact up to the clamp; tests/test_dcn_windowed.py), the
-same bounded-support trade the reference's own runtime makes spatially
-with warp_size. The HR-level dcn_3 and everything else is the exact
-path. Full-exact throughput is reported in docs/PERF.md.
+The model runs in the TPU-native inference configuration:
+- gather-free windowed DCN (dcn_window=8) on the three 1/4-res
+  alignment stages: sample displacements are clamped to +-8 px there
+  (exact up to the clamp; tests/test_dcn_windowed.py), the same
+  bounded-support trade the reference's own runtime makes spatially
+  with warp_size. The HR-level dcn_3 is the exact path.
+- bfloat16 weights/activations on the systolic array with f32
+  accumulation (56 dB agreement with the f32 parity path;
+  tests/test_bf16.py).
+Exact-f32 throughput is reported alongside in docs/PERF.md.
 
 Prints ONE JSON line. vs_baseline is frames/sec divided by the 30 fps
 real-time bar from BASELINE.md (the reference publishes no numbers).
@@ -47,6 +51,12 @@ def main() -> None:
     params = init_params(jax.random.PRNGKey(0))
 
     from crfp_tpu.bench.profile import force_sync
+    from crfp_tpu.utils.precision import cast_pytree
+
+    params = cast_pytree(params, jnp.bfloat16)
+    lr = lr.astype(jnp.bfloat16)
+    fv = fv.astype(jnp.bfloat16)
+    mk = mk.astype(jnp.bfloat16)
 
     runner = StreamingRunner(model, params)
     # warm-up: compile step0 + step, then settle.
