@@ -23,8 +23,10 @@ Tile-size choice matters: the one-hot matrices R/C are 2-sparse, so MXU
 waste scales with the window extents (band + 2*halo, xtile + 2*halo).
 Small tiles win despite the halo overhead — a true-sync sweep at the lv3
 alignment shapes (180x320, 8 groups, D=8) on v5e measured 112.7 ms at
-(band=16, xtile=160) vs 32-40 ms for every config with band<=16 and
-xtile<=32; the defaults encode the sweep's winner.
+(band=16, xtile=160) vs 25-45 ms for every config with band<=16 and
+xtile<=32 (f32 and bf16); the defaults encode the sweep's winner
+(band=8, xtile=16: 25.5 ms bf16 / 40.6 ms f32, and the fastest
+end-to-end v18 step of the configs tried).
 """
 
 from __future__ import annotations
@@ -44,7 +46,7 @@ def deform_conv2d_windowed(
     *,
     max_displacement: int = 16,
     band: int = 8,
-    xtile: int = 32,
+    xtile: int = 16,
 ) -> jax.Array:
     """Same signature/layout as deform_conv2d plus the window config.
 
