@@ -39,3 +39,23 @@ def test_windowed_clamps_beyond_window():
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
     assert np.isfinite(got).all()
+
+
+def test_windowed_bf16_tracks_f32():
+    rng = np.random.default_rng(2)
+    n, h, w, c = 1, 16, 24, 8
+    x = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    off = rng.uniform(-3, 3, (n, h, w, 2, 9, 2)).astype(np.float32)
+    mk = rng.uniform(0, 1, (n, h, w, 2, 9)).astype(np.float32)
+    wt = (rng.standard_normal((3, 3, c, c)) * 0.2).astype(np.float32)
+
+    f32 = np.asarray(deform_conv2d_windowed(
+        jnp.asarray(x), jnp.asarray(off), jnp.asarray(mk), jnp.asarray(wt),
+        None, max_displacement=4))
+    bf = np.asarray(deform_conv2d_windowed(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(off, jnp.bfloat16),
+        jnp.asarray(mk, jnp.bfloat16), jnp.asarray(wt, jnp.bfloat16),
+        None, max_displacement=4), np.float32)
+    # bf16 quantizes inputs/offsets (~1e-2 relative); outputs must track f32
+    assert np.abs(bf - f32).max() < 0.15
+    assert np.abs(bf - f32).mean() < 0.02
