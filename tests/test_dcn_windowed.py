@@ -59,3 +59,59 @@ def test_windowed_bf16_tracks_f32():
     # bf16 quantizes inputs/offsets (~1e-2 relative); outputs must track f32
     assert np.abs(bf - f32).max() < 0.15
     assert np.abs(bf - f32).mean() < 0.02
+
+
+def test_dcn_window_config_reaches_both_models():
+    # regression guard: cfg.dcn_window silently not reaching a model's
+    # alignment stages produces IDENTICAL outputs (the fused path then
+    # runs the exact op), which equivalence tests cannot catch. The
+    # windowed op's lax.map lowers to `scan`; the exact batch forward has
+    # exactly one scan (time) and the exact runtime step none, so extra
+    # scans in the jaxpr prove the wiring.
+    import jax
+    from crfp_tpu.models.crfp import CRFP, ModelConfig
+    from crfp_tpu.models.runtime import CRFPRuntimeV18
+
+    h, w = 16, 24
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    fv = jnp.asarray(rng.uniform(0, 1, (1, h * 8, w * 8, 3)), jnp.float32)
+    mk = jnp.zeros((1, h * 8, w * 8, 1), jnp.float32)
+
+    for win, expect in ((None, False), (8, True)):
+        cfg = ModelConfig(variant="v18", mid_channels=16, dcn_window=win)
+        model = CRFP(cfg)
+        params = jax.eval_shape(
+            lambda k: model.init(k, lr[:, None], fv[:, None], mk[:, None]),
+            jax.random.PRNGKey(0),
+        )
+        # jaxpr of the full batch forward (step0 + scanned steps)
+        jaxpr = str(
+            jax.make_jaxpr(
+                lambda p: model.apply(
+                    jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), p),
+                    lr[:, None].repeat(2, 1), fv[:, None].repeat(2, 1),
+                    mk[:, None].repeat(2, 1),
+                )
+            )(params)
+        )
+        assert (jaxpr.count("scan[") > 1) == expect, (win, expect, jaxpr.count("scan["))
+
+        rt = CRFPRuntimeV18(cfg, warp_size=(64, 64))
+        fvr = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+
+        def run(mdl):
+            x_lr, x_hr = mdl.encode(lr, fvr)
+            state, _ = mdl.step0(lr, x_lr, x_hr)
+            _, out = mdl.step(state, lr, lr, x_lr, x_hr)
+            return out
+
+        rparams = jax.eval_shape(lambda k: rt.init(k, method=run), jax.random.PRNGKey(0))
+        jaxpr = str(
+            jax.make_jaxpr(
+                lambda p: rt.apply(
+                    jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), p), method=run
+                )
+            )(rparams)
+        )
+        assert ("scan[" in jaxpr) == expect, ("runtime", win, expect)
