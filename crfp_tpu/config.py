@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gather-free windowed DCN: clamp alignment "
                         "displacements to +-N px and sample via MXU "
                         "interpolation matrices (~3.5x faster; None = exact)")
+    p.add_argument("--dcn_window_hr", type=int, default=None,
+                   help="same for the HR-level dcn_3 (8x-res flow: budget "
+                        "~4x dcn_window, e.g. 32); None = exact")
 
     ### loss settings
     p.add_argument("--rec_w", type=float, default=1.0)
@@ -138,6 +141,7 @@ def model_config(args) -> ModelConfig:
         flow_net=args.flow_net,
         remat=args.remat,
         dcn_window=args.dcn_window,
+        dcn_window_hr=args.dcn_window_hr,
     )
 
 

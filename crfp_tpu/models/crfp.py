@@ -77,9 +77,13 @@ class ModelConfig:
     remat: bool = False  # rematerialize each scan step during training
     # gather-free windowed DCN for the 1/4-res alignment stages: clamps
     # sample displacements to +-dcn_window pixels and runs the bilinear
-    # sampling as MXU interpolation matrices — ~3.5x faster than the exact
-    # gather path on this TPU (docs/PERF.md). None = exact gathers.
+    # sampling as MXU interpolation matrices (the Pallas kernel on TPU,
+    # the XLA lax.map form elsewhere — docs/PERF.md). None = exact gathers.
     dcn_window: int | None = None
+    # same trade for the HR-level dcn_3 (repeat mode). The flow there is
+    # at 8x resolution, so its displacement budget should be ~4x the
+    # 1/4-res stages' (e.g. 32 when dcn_window=8). None = exact gathers.
+    dcn_window_hr: int | None = None
 
     @property
     def last_channels(self) -> int:
@@ -132,10 +136,11 @@ class CRFP(nn.Module):
             if cfg.hr_dcn:
                 self.dcn_3 = DCNAlign(
                     last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
-                    interpolate="pixelshuffle",
+                    interpolate="pixelshuffle", window=cfg.dcn_window_hr,
                 )
             else:
-                self.dcn_3 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop)
+                self.dcn_3 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
+                                      window=cfg.dcn_window)
 
         self.encoder_lr = LTESimpleLR(m)
         if cfg.variant == "basic_fvsr":

@@ -84,7 +84,7 @@ class CRFPRuntimeV18(nn.Module):
         self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
                               window=cfg.dcn_window)
         self.dcn_3 = DCNAlign(last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
-                              interpolate="pixelshuffle")
+                              interpolate="pixelshuffle", window=cfg.dcn_window_hr)
         self.encoder_lr = LTESimpleLR(m)
         self.encoder_hr = LTESimpleHRSingle(last)
         self.conv_tttf = Conv(last, name="conv_tttf")

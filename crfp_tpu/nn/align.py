@@ -26,6 +26,21 @@ from crfp_tpu.ops.dcn import deform_conv2d, deform_conv2d_shared_offset
 from crfp_tpu.ops.resize import upsample as bilinear_upsample
 
 
+def _windowed_dcn(x, off, mask, weight, bias, window: int):
+    """Windowed-DCN dispatch: the Mosaic kernel on TPU (differentiable via
+    its custom VJP), the XLA lax.map interpolation-matrix form elsewhere
+    (same math, same clamping — tests compare the two)."""
+    if jax.default_backend() == "tpu":
+        from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_vjp
+
+        return deform_conv2d_pallas_vjp(
+            x, off, mask, weight, bias, max_displacement=window
+        )
+    from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
+
+    return deform_conv2d_windowed(x, off, mask, weight, bias, max_displacement=window)
+
+
 def _identity_kernel_init(key, shape, dtype=jnp.float32):
     kh, kw, cin, cout = shape
     w = jnp.zeros(shape, dtype)
@@ -109,13 +124,19 @@ class DCNAlign(nn.Module):
                 mask = Conv(g, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
                 mask = jax.nn.sigmoid(mask)[:, :, :, :, None]
                 mask = jnp.broadcast_to(mask, (n, h, w, g, k2))
-            # all taps share one offset -> 4x4-patch gather fast path
-            # (deform_conv2d_shared_offset: 16 corner gathers instead of 36)
             weight = self.param("dcn_weight", _identity_kernel_init, (k, k, m, m))
             bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
-            aligned = deform_conv2d_shared_offset(
-                pre_x, off[:, :, :, 0, :], mask[:, :, :, 0, :], weight, bias
-            )
+            if self.window is not None:
+                # windowed MXU kernel with the shared offset broadcast to
+                # every tap (displacements clamped to +-window)
+                off_b = jnp.broadcast_to(off[:, :, :, :, None, :], (n, h, w, g, k2, 2))
+                aligned = _windowed_dcn(pre_x, off_b, mask, weight, bias, self.window)
+            else:
+                # all taps share one offset -> 4x4-patch gather fast path
+                # (deform_conv2d_shared_offset: 16 corner gathers, not 36)
+                aligned = deform_conv2d_shared_offset(
+                    pre_x, off[:, :, :, 0, :], mask[:, :, :, 0, :], weight, bias
+                )
             return aligned, feat
         else:
             raw = Conv(g * 2 * k2, kernel_init=zero, bias_init=zero, name="dcn_offset")(feat)
@@ -129,11 +150,7 @@ class DCNAlign(nn.Module):
         weight = self.param("dcn_weight", _identity_kernel_init, (k, k, m, m))
         bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
         if self.window is not None:
-            from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
-
-            aligned = deform_conv2d_windowed(
-                pre_x, off, mask, weight, bias, max_displacement=self.window
-            )
+            aligned = _windowed_dcn(pre_x, off, mask, weight, bias, self.window)
         else:
             aligned = deform_conv2d(pre_x, off, mask, weight, bias)
         return aligned, feat

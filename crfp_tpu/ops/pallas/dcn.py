@@ -1,14 +1,381 @@
-"""Pallas DCN: currently delegated to the XLA gather formulation.
+"""Gather-free windowed deformable conv as a Pallas TPU kernel.
 
-Mosaic has no vector gather in this environment, so an in-kernel gather
-would scalarize. The DCN is gather-bound at ~10-30 ns per XLA gather
-slice (true-sync measurement, docs/PERF.md); crfp_tpu.ops.dcn minimizes
-slice count (patch gathers, the shared-offset 4x4 path, tap
-accumulation). The interpolation-matrix MXU kernel that removes the
-gathers entirely is specified in docs/PERF.md (Roadmap) and will live
-here.
+This is the Mosaic implementation of the interpolation-matrix design in
+docs/PERF.md (Roadmap) — the native-component mandate of SURVEY.md §2.1
+row 1 (reference: the external CUDA ``dcn_v2`` extension driven by
+/root/reference/model/CRFP.py:281-370). Semantics match
+:func:`crfp_tpu.ops.dcn.deform_conv2d` exactly whenever every sample
+displacement satisfies ``|offset| <= max_displacement``; beyond that the
+displacement is clamped (the same bounded-support trade the reference's
+own runtime makes spatially with ``warp_size``).
+
+Why a kernel: XLA TPU gathers cost ~10-30 ns per slice regardless of
+width, making the exact DCN ~95% gather time, and the XLA ``lax.map``
+form of this same design (crfp_tpu/ops/dcn_windowed.py) serializes
+hundreds-to-thousands of per-tile cells, which wins at the 1/4-res
+alignment shapes but collapses at the HR dcn_3 (measured seconds). The
+hardware grid loop below removes that overhead; the gathers become MXU
+matmuls.
+
+Per grid step (one output row-band x column-tile x deformable group):
+
+1. DMA the padded source window (rows x cols*cpg lanes) HBM -> VMEM,
+   double-buffered across grid steps so the copy hides under compute.
+2. Build the 2-sparse row-interpolation matrix R (queries x window rows)
+   from iota compares and contract it with the window on the MXU:
+   v = R @ win  — this performs every sample's row interpolation.
+3. Build the 2-sparse column weights directly on the flat lane index
+   (col = lane // cpg), multiply elementwise with v and the DCN
+   modulation mask.
+4. Contract the tap's query block against the weight matrix
+   pre-expanded onto the flat lane axis (W_k[l, o] = w[k, l % cpg, o]),
+   accumulating the output tile in f32 — column interpolation and the
+   conv-weight contraction fuse into one matmul per tap.
+
+Steps 2-4 run once per kernel tap (a static k^2 loop), so the peak VMEM
+footprint is one (pixels, window-lanes) intermediate. Per-pixel query
+data arrives packed on lanes ([ly_k | lx_k | mask_k]); output blocks are
+revisited across the deformable-group grid axis and accumulated in VMEM.
 """
 
-from crfp_tpu.ops.dcn import deform_conv2d as deform_conv2d_pallas
+from __future__ import annotations
 
-__all__ = ["deform_conv2d_pallas"]
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dcn_kernel(
+    qd_ref,      # (1, 1, P, 3*k2) f32: lanes [ly_k | lx_k | mask_k] per pixel
+    w_ref,       # (1, k2, wcwin, o) expanded weights for this group
+    xg_hbm,      # (NG, Hp, Wcp) padded source planes, HBM
+    out_ref,     # (1, 1, P, o) f32 output tile (revisited across g)
+    win_s,       # (2, hwin, wcwin) VMEM scratch, double-buffered
+    sems,        # (2,) DMA semaphores
+    *,
+    n_groups: int,
+    n_cells: int,
+    n_tiles: int,
+    band: int,
+    xtile: int,
+    k2: int,
+    cpg: int,
+    o: int,
+    hwin: int,
+    wcwin: int,
+):
+    i = pl.program_id(0)
+    total = pl.num_programs(0)
+    p_tile = band * xtile
+
+    def window_dma(idx, slot):
+        g = idx % n_groups
+        cell = (idx // n_groups) % n_cells
+        ni = idx // (n_groups * n_cells)
+        bi = cell // n_tiles
+        tj = cell % n_tiles
+        return pltpu.make_async_copy(
+            xg_hbm.at[
+                ni * n_groups + g,
+                pl.ds(bi * band, hwin),
+                pl.ds(tj * xtile * cpg, wcwin),
+            ],
+            win_s.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    @pl.when(i + 1 < total)
+    def _():
+        window_dma(i + 1, (i + 1) % 2).start()
+
+    window_dma(i, i % 2).wait()
+    win = win_s[i % 2]  # (hwin, wcwin)
+
+    qd = qd_ref[0, 0]  # (P, 3*k2)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (p_tile, hwin), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (p_tile, wcwin), 1) // cpg
+
+    # f32 operands need multi-pass MXU precision: the default single bf16
+    # pass injects ~1e-2 error, which breaks the "exact within the window"
+    # contract. bf16 operands are single-pass either way.
+    prec = None if win_s.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+    # per-tap: keeps peak VMEM at one (P, wcwin) intermediate instead of
+    # a (k2*P, wcwin) block (which OOMs scoped vmem at the model shapes)
+    acc = jnp.zeros((p_tile, o), jnp.float32)
+    for k in range(k2):
+        ly = qd[:, k : k + 1]                 # (P, 1) local row coord
+        lx = qd[:, k2 + k : k2 + k + 1]       # (P, 1) local col coord
+        mk = qd[:, 2 * k2 + k : 2 * k2 + k + 1]
+
+        # stage 1: 2-sparse row interpolation matrix -> MXU
+        y0 = jnp.floor(ly)
+        fy = ly - y0
+        y0i = y0.astype(jnp.int32)
+        r_mat = jnp.where(riota == y0i, 1.0 - fy, 0.0) + jnp.where(
+            riota == y0i + 1, fy, 0.0
+        )
+        v = jax.lax.dot_general(
+            r_mat.astype(win.dtype),
+            win,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # (P, wcwin)
+
+        # stage 2: column weights on the flat lane index (col = lane // cpg)
+        x0 = jnp.floor(lx)
+        fx = lx - x0
+        x0i = x0.astype(jnp.int32)
+        cw = jnp.where(col == x0i, 1.0 - fx, 0.0) + jnp.where(
+            col == x0i + 1, fx, 0.0
+        )
+        u = (v * cw * mk).astype(w_ref.dtype)
+
+        # fused column-reduce + conv-weight contraction on the MXU
+        acc = acc + jax.lax.dot_general(
+            u,
+            w_ref[0, k],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    g = i % n_groups
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[0, 0] = acc
+
+    @pl.when(g > 0)
+    def _():
+        out_ref[0, 0] = out_ref[0, 0] + acc
+
+
+def deform_conv2d_pallas(
+    x: jax.Array,
+    offset: jax.Array,
+    mask: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    max_displacement: int = 8,
+    band: int = 8,
+    xtile: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Windowed modulated deformable conv (stride 1, 'same', dilation 1).
+
+    Same signature/layout as :func:`crfp_tpu.ops.dcn.deform_conv2d` plus
+    the window config:
+
+      x: (N, H, W, C); offset: (N, H, W, G, K2, 2), last dim (dy, dx);
+      mask: (N, H, W, G, K2); weight: (kh, kw, C, O); bias: (O,) | None.
+
+    Displacements are clamped to ``±max_displacement``; within the window
+    the result matches the exact gather formulation.
+
+    Mosaic requires every manual DMA slice of the (8, 128)-tiled source
+    planes to be tile-aligned in both sublane (rows) and lane (w*cpg)
+    dims, so the geometry is quantized: band and the window row count to
+    the sublane tile, xtile and the halo so column starts/widths are
+    multiples of 128 lanes. The requested ``band``/``xtile`` are rounded
+    up accordingly; the halo rounding only ever widens the exact window.
+    """
+    import math
+
+    n, h, w, c = x.shape
+    kh, kw, wc, o = weight.shape
+    assert wc == c, (weight.shape, x.shape)
+    k2 = kh * kw
+    g = offset.shape[3]
+    assert offset.shape == (n, h, w, g, k2, 2), offset.shape
+    assert mask.shape == (n, h, w, g, k2), mask.shape
+    assert c % g == 0, (c, g)
+    cpg = c // g
+    pad_y, pad_x = (kh - 1) // 2, (kw - 1) // 2
+    d = max_displacement
+    halo = d + max(pad_y, pad_x) + 2
+
+    def round_up(v, m):
+        return -(-v // m) * m
+
+    sub_tile = 16 if x.dtype == jnp.bfloat16 else 8
+    # row starts are bi*band and the slice height is band + 2*halo: both
+    # must be multiples of the sublane tile
+    band = round_up(band, sub_tile)
+    halo = round_up(halo, sub_tile // 2)
+    # lane starts are tj*xtile*cpg and the slice width (xtile + 2*halo)*cpg:
+    # multiples of 128 lanes
+    lane_q = 128 // math.gcd(cpg, 128)
+    xtile = round_up(xtile, lane_q)
+    halo = round_up(halo, max(sub_tile // 2, lane_q // 2))
+
+    n_bands = -(-h // band)
+    n_tiles = -(-w // xtile)
+    h_pad = n_bands * band - h
+    w_pad = n_tiles * xtile - w
+    hwin = band + 2 * halo
+    wwin = xtile + 2 * halo
+    wcwin = wwin * cpg
+    n_cells = n_bands * n_tiles
+    p_tile = band * xtile
+
+    # ---- XLA-side prep (cheap elementwise/transpose work) ----
+    # padded group planes with flattened (w, cpg) lanes
+    xg = x.reshape(n, h, w, g, cpg).transpose(0, 3, 1, 2, 4)
+    xg = jnp.pad(
+        xg,
+        ((0, 0), (0, 0), (halo, halo + h_pad), (halo, halo + w_pad), (0, 0)),
+    ).reshape(n * g, h + h_pad + 2 * halo, (w + w_pad + 2 * halo) * cpg)
+
+    # absolute sample coords with clamped displacement
+    off = jnp.clip(offset.astype(jnp.float32), -float(d), float(d))
+    gy = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1, 1, 1)
+    gx = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w, 1, 1)
+    ty = (jnp.arange(kh, dtype=jnp.float32) - pad_y).repeat(kw).reshape(1, 1, 1, 1, k2)
+    tx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) - pad_x, kh).reshape(1, 1, 1, 1, k2)
+    sy = gy + ty + off[..., 0]  # (n, h, w, g, k2)
+    sx = gx + tx + off[..., 1]
+
+    def cellwise(a):
+        """(n, h, w, g, k2) -> (n*g, n_cells, P, k2), P row-major."""
+        a = jnp.pad(a, ((0, 0), (0, h_pad), (0, w_pad), (0, 0), (0, 0)))
+        a = a.reshape(n, n_bands, band, n_tiles, xtile, g, k2)
+        return a.transpose(0, 5, 1, 3, 2, 4, 6).reshape(n * g, n_cells, p_tile, k2)
+
+    # local window coordinates: ly = sy - (cell_row0 - halo), in unpadded
+    # frame coords shifted per cell
+    ly = cellwise(sy) - (
+        jnp.repeat(jnp.arange(n_bands, dtype=jnp.float32) * band - halo, n_tiles)
+    ).reshape(1, n_cells, 1, 1)
+    lx = cellwise(sx) - (
+        jnp.tile(jnp.arange(n_tiles, dtype=jnp.float32) * xtile - halo, n_bands)
+    ).reshape(1, n_cells, 1, 1)
+    mkq = cellwise(mask.astype(jnp.float32))
+    # lanes: [ly_0..ly_{k2-1} | lx_0.. | mask_0..]
+    qd = jnp.concatenate([ly, lx, mkq], axis=-1)  # (NG, cells, P, 3*k2)
+
+    # weights expanded onto the flat lane axis: W[g, k, w*cpg + ch, o]
+    w2 = weight.reshape(k2, g, cpg, o).transpose(1, 0, 2, 3)  # (g, k2, cpg, o)
+    wexp = jnp.tile(w2, (1, 1, wwin, 1)).astype(x.dtype)  # (g, k2, wcwin, o)
+
+    kernel = functools.partial(
+        _dcn_kernel,
+        n_groups=g,
+        n_cells=n_cells,
+        n_tiles=n_tiles,
+        band=band,
+        xtile=xtile,
+        k2=k2,
+        cpg=cpg,
+        o=o,
+        hwin=hwin,
+        wcwin=wcwin,
+    )
+    total = n * n_cells * g
+    out = pl.pallas_call(
+        kernel,
+        grid=(total,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, p_tile, 3 * k2),
+                lambda i: (
+                    (i // (g * n_cells)) * g + i % g,
+                    (i // g) % n_cells,
+                    0,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, k2, wcwin, o),
+                lambda i: (i % g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, p_tile, o),
+            lambda i: (i // (g * n_cells), (i // g) % n_cells, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n_cells, p_tile, o), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, hwin, wcwin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(qd, wexp, xg)
+
+    out = out.reshape(n, n_bands, n_tiles, band, xtile, o)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, n_bands * band, n_tiles * xtile, o
+    )[:, :h, :w]
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _vjp_wrapped(max_displacement: int, band: int, xtile: int, interpret: bool):
+    """custom_vjp closure per static window config.
+
+    Forward: the Mosaic kernel above. Backward: ``jax.vjp`` of the XLA
+    interpolation-matrix formulation (crfp_tpu/ops/dcn_windowed.py) — the
+    SAME math (identical clamping), whose adjoints are einsum transposes
+    and windowed dynamic-slice additions, i.e. scatter-free. This makes
+    the kernel trainable; a fully-Pallas backward is a later optimization.
+    """
+
+    @jax.custom_vjp
+    def op(x, offset, mask, weight, bias):
+        return deform_conv2d_pallas(
+            x, offset, mask, weight, bias,
+            max_displacement=max_displacement, band=band, xtile=xtile,
+            interpret=interpret,
+        )
+
+    def fwd(x, offset, mask, weight, bias):
+        return op(x, offset, mask, weight, bias), (x, offset, mask, weight, bias)
+
+    def bwd(res, g_out):
+        from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
+
+        x, offset, mask, weight, bias = res
+        _, pullback = jax.vjp(
+            lambda *a: deform_conv2d_windowed(
+                *a, max_displacement=max_displacement
+            ),
+            x, offset, mask, weight, bias,
+        )
+        return pullback(g_out.astype(jnp.float32) if g_out.dtype != x.dtype else g_out)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def deform_conv2d_pallas_vjp(
+    x: jax.Array,
+    offset: jax.Array,
+    mask: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    max_displacement: int = 8,
+    band: int = 8,
+    xtile: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable windowed DCN: Pallas forward, XLA-windowed backward."""
+    op = _vjp_wrapped(max_displacement, band, xtile, interpret)
+    if bias is None:
+        bias = jnp.zeros((weight.shape[-1],), x.dtype)
+    return op(x, offset, mask, weight, bias)

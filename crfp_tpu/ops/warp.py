@@ -7,8 +7,10 @@ normalization means the un-normalized position IS the pixel coordinate.
 (/root/reference/model/CRFP.py:644).
 
 Implemented as four flat gathers + bilinear blend. This XLA formulation is
-also reused by the deformable-conv op; a fused Pallas kernel covers the
-streaming hot path (see crfp_tpu/ops/pallas/).
+also reused by the deformable-conv op. A gather-free windowed Pallas
+kernel exists for the DCN (crfp_tpu/ops/pallas/dcn.py); the plain warp's
+flow magnitude is unbounded, so it stays on the XLA gather path
+(crfp_tpu/ops/pallas/warp.py documents the trade).
 """
 
 from __future__ import annotations

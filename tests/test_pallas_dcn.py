@@ -1,0 +1,141 @@
+"""Pallas windowed-DCN kernel vs the exact gather formulation.
+
+Runs in interpret mode on the CPU test mesh; the Mosaic-compiled path is
+exercised on the real chip by the benchmarks (docs/PERF.md). Oracle: the
+exact gather op (itself oracle-tested against a numpy loop and torchvision
+``deform_conv2d`` in tests/test_ops_dcn.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crfp_tpu.ops.dcn import deform_conv2d
+from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
+from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas
+
+
+@pytest.mark.parametrize("g,c,o", [(4, 16, 24), (1, 4, 4), (8, 32, 32)])
+def test_pallas_matches_gather_within_window(g, c, o):
+    rng = np.random.default_rng(0)
+    n, h, w = 2, 19, 27  # deliberately not multiples of band/xtile
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-6, 6, (n, h, w, g, 9, 2)), jnp.float32)
+    mk = jnp.asarray(rng.uniform(0, 1, (n, h, w, g, 9)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, o)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((o,)), jnp.float32)
+
+    want = np.asarray(deform_conv2d(x, off, mk, wt, b))
+    got = np.asarray(
+        deform_conv2d_pallas(x, off, mk, wt, b, max_displacement=8, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_pallas_clamps_beyond_window_like_xla_windowed():
+    rng = np.random.default_rng(1)
+    n, h, w, c, g = 1, 16, 24, 8, 2
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-20, 20, (n, h, w, g, 9, 2)), jnp.float32)
+    mk = jnp.asarray(rng.uniform(0, 1, (n, h, w, g, 9)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.2, jnp.float32)
+
+    want = np.asarray(deform_conv2d_windowed(x, off, mk, wt, None, max_displacement=4))
+    got = np.asarray(
+        deform_conv2d_pallas(x, off, mk, wt, None, max_displacement=4, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_pallas_identity_init():
+    # zero offsets + identity weight + unit mask ==> output == input
+    # (guaranteed by the reference's DCN init, /root/reference/model/CRFP.py:354-370)
+    rng = np.random.default_rng(2)
+    n, h, w, c = 1, 16, 16, 8
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    off = jnp.zeros((n, h, w, 1, 9, 2), jnp.float32)
+    mk = jnp.ones((n, h, w, 1, 9), jnp.float32)
+    wt = jnp.zeros((3, 3, c, c), jnp.float32).at[1, 1].set(jnp.eye(c))
+    got = np.asarray(
+        deform_conv2d_pallas(x, off, mk, wt, None, max_displacement=4, interpret=True)
+    )
+    np.testing.assert_allclose(got, np.asarray(x), atol=1e-6)
+
+
+def test_pallas_shared_offset_repeat_mode():
+    # the HR dcn_3 broadcast: one (dy, dx) per pixel repeated to all taps
+    rng = np.random.default_rng(3)
+    n, h, w, c = 1, 24, 32, 4
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    shared = jnp.asarray(rng.uniform(-5, 5, (n, h, w, 1, 1, 2)), jnp.float32)
+    off = jnp.broadcast_to(shared, (n, h, w, 1, 9, 2))
+    mk = jnp.asarray(rng.uniform(0, 1, (n, h, w, 1, 9)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.2, jnp.float32)
+
+    from crfp_tpu.ops.dcn import deform_conv2d_shared_offset
+
+    want = np.asarray(
+        deform_conv2d_shared_offset(x, shared[:, :, :, 0, 0, :], mk[:, :, :, 0, :], wt, None)
+    )
+    got = np.asarray(
+        deform_conv2d_pallas(x, off, mk, wt, None, max_displacement=8, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_pallas_bf16_tracks_f32():
+    rng = np.random.default_rng(4)
+    n, h, w, c = 1, 16, 24, 8
+    x = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    off = rng.uniform(-3, 3, (n, h, w, 2, 9, 2)).astype(np.float32)
+    mk = rng.uniform(0, 1, (n, h, w, 2, 9)).astype(np.float32)
+    wt = (rng.standard_normal((3, 3, c, c)) * 0.2).astype(np.float32)
+
+    f32 = np.asarray(
+        deform_conv2d_pallas(
+            jnp.asarray(x), jnp.asarray(off), jnp.asarray(mk), jnp.asarray(wt),
+            None, max_displacement=4, interpret=True,
+        )
+    )
+    bf = np.asarray(
+        deform_conv2d_pallas(
+            jnp.asarray(x, jnp.bfloat16), jnp.asarray(off), jnp.asarray(mk),
+            jnp.asarray(wt, jnp.bfloat16), None, max_displacement=4, interpret=True,
+        ),
+        np.float32,
+    )
+    assert np.abs(bf - f32).max() < 0.15
+    assert np.abs(bf - f32).mean() < 0.02
+
+
+def test_pallas_vjp_matches_xla_windowed_grads():
+    # Pallas forward + custom VJP (backward = vjp of the XLA windowed op)
+    # must produce the same gradients as autodiff of the XLA windowed op
+    from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_vjp
+
+    rng = np.random.default_rng(5)
+    n, h, w, c, g = 1, 12, 16, 8, 2
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-3, 3, (n, h, w, g, 9, 2)), jnp.float32)
+    mk = jnp.asarray(rng.uniform(0.2, 0.8, (n, h, w, g, 9)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+
+    def loss_pallas(x, off, mk, wt, b):
+        y = deform_conv2d_pallas_vjp(
+            x, off, mk, wt, b, max_displacement=4, interpret=True
+        )
+        return jnp.sum((y - tgt) ** 2)
+
+    def loss_xla(x, off, mk, wt, b):
+        y = deform_conv2d_windowed(x, off, mk, wt, b, max_displacement=4)
+        return jnp.sum((y - tgt) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(x, off, mk, wt, b)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(x, off, mk, wt, b)
+    for a, b_, name in zip(gp, gx, ["x", "offset", "mask", "weight", "bias"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3, err_msg=name
+        )
