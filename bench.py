@@ -7,11 +7,13 @@ per-frame step (flow + encoders + 4 DCN stages + reconstruction).
 Here: LR 90x160 -> 720x1280 output (720p), fovea 96x96.
 
 The model runs in the TPU-native inference configuration:
-- gather-free windowed DCN (dcn_window=8) on the three 1/4-res
-  alignment stages: sample displacements are clamped to +-8 px there
-  (exact up to the clamp; tests/test_dcn_windowed.py), the same
-  bounded-support trade the reference's own runtime makes spatially
-  with warp_size. The HR-level dcn_3 is the exact path.
+- gather-free windowed DCN (the Pallas interpolation-matrix kernel,
+  crfp_tpu/ops/pallas/dcn.py) on the three 1/4-res alignment stages
+  (displacements clamped to +-8 px), on the HR-level dcn_3
+  (shared-tap mode, +-32 px at 8x resolution — the same displacement
+  budget), and on the HR state warp — exact up to the clamp
+  (tests/test_pallas_dcn.py), the same bounded-support trade the
+  reference's own runtime makes spatially with warp_size.
 - bfloat16 weights/activations on the systolic array with f32
   accumulation (56 dB agreement with the f32 parity path;
   tests/test_bf16.py).
@@ -34,7 +36,7 @@ import numpy as np
 def main() -> None:
     from crfp_tpu.models import CRFP, ModelConfig, StreamingRunner
 
-    cfg = ModelConfig(variant="v18", mid_channels=32, dcn_window=8)
+    cfg = ModelConfig(variant="v18", mid_channels=32, dcn_window=8, dcn_window_hr=32)
     model = CRFP(cfg)
     h, w, s = 90, 160, cfg.scale
     rng = np.random.default_rng(0)

@@ -210,6 +210,16 @@ class CRFP(nn.Module):
         cfg = self.cfg
         return upsample(rgb2y(lr) if cfg.y_only else lr, cfg.scale)
 
+    def _warp_hr(self, hr_state: jax.Array, flow_lv0: jax.Array) -> jax.Array:
+        """HR-state warp. With dcn_window_hr set, displacements are clamped
+        to the window and the warp runs gather-free: the Pallas
+        interpolation-matrix kernel on TPU (21 ms -> ~3 ms at 720p,
+        docs/PERF.md), an exactly-equivalent clipped-flow gather warp
+        elsewhere."""
+        from crfp_tpu.ops.pallas.warp import flow_warp_maybe_windowed
+
+        return flow_warp_maybe_windowed(hr_state, flow_lv0, self.cfg.dcn_window_hr)
+
     def _reconstruct(self, y: jax.Array, x_hr: jax.Array, mk: jax.Array, lr: jax.Array):
         """Fovea texture blend + conv_last + bilinear-8x base residual."""
         mkf = mk.astype(y.dtype)
@@ -342,7 +352,7 @@ class CRFP(nn.Module):
                 x_hr_lv3 = x_hr
             lv3_state = self.downsample(hr_state)
             lv3_warped = flow_warp(lv3_state, flow_lv3)
-            hr_warped = flow_warp(hr_state, flow_lv0)
+            hr_warped = self._warp_hr(hr_state, flow_lv0)
             f0, f1, f2 = state["lv"]
             mixed = flow_warp(jnp.concatenate([f0, f1, f2], axis=-1), flow_lv3)
             f0, f1, f2 = jnp.split(mixed, 3, axis=-1)
@@ -404,7 +414,7 @@ class CRFP(nn.Module):
 
         # ---- v13 / v15 ----
         if cfg.hr_dcn:
-            hr_warped = flow_warp(hr_state, flow_lv0)
+            hr_warped = self._warp_hr(hr_state, flow_lv0)
             lv3_warped = self.downsample(hr_warped)
             lv3_state = self.downsample(hr_state)
         else:

@@ -148,7 +148,9 @@ class CRFPRuntimeV18(nn.Module):
         flow_lv0 = upsample(flow, cfg.scale) * float(cfg.scale)
 
         hr_state = state["hr"]  # last @ ROI
-        hr_warped = flow_warp(hr_state, flow_lv0)
+        from crfp_tpu.ops.pallas.warp import flow_warp_maybe_windowed
+
+        hr_warped = flow_warp_maybe_windowed(hr_state, flow_lv0, cfg.dcn_window_hr)
         lv3_warped = self.downsample(hr_warped)
         lv3_state = self.downsample(hr_state)
         f0, f1, f2 = state["lv"]

@@ -26,18 +26,24 @@ from crfp_tpu.ops.dcn import deform_conv2d, deform_conv2d_shared_offset
 from crfp_tpu.ops.resize import upsample as bilinear_upsample
 
 
-def _windowed_dcn(x, off, mask, weight, bias, window: int):
+def _windowed_dcn(x, off, mask, weight, bias, window: int, shared: bool = False):
     """Windowed-DCN dispatch: the Mosaic kernel on TPU (differentiable via
     its custom VJP), the XLA lax.map interpolation-matrix form elsewhere
-    (same math, same clamping — tests compare the two)."""
+    (same math, same clamping — tests compare the two).
+
+    ``shared``: repeat mode — ``off`` is (N,H,W,G,1,2), broadcast to every
+    tap (the Pallas kernel exploits the shared fractional parts)."""
     if jax.default_backend() == "tpu":
         from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_vjp
 
         return deform_conv2d_pallas_vjp(
-            x, off, mask, weight, bias, max_displacement=window
+            x, off, mask, weight, bias, max_displacement=window, shared_taps=shared
         )
     from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
 
+    if shared:
+        k2 = weight.shape[0] * weight.shape[1]
+        off = jnp.broadcast_to(off, off.shape[:4] + (k2, 2))
     return deform_conv2d_windowed(x, off, mask, weight, bias, max_displacement=window)
 
 
@@ -127,10 +133,12 @@ class DCNAlign(nn.Module):
             weight = self.param("dcn_weight", _identity_kernel_init, (k, k, m, m))
             bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
             if self.window is not None:
-                # windowed MXU kernel with the shared offset broadcast to
-                # every tap (displacements clamped to +-window)
-                off_b = jnp.broadcast_to(off[:, :, :, :, None, :], (n, h, w, g, k2, 2))
-                aligned = _windowed_dcn(pre_x, off_b, mask, weight, bias, self.window)
+                # windowed MXU kernel, shared-tap mode (displacements
+                # clamped to +-window)
+                aligned = _windowed_dcn(
+                    pre_x, off[:, :, :, :, None, :], mask, weight, bias,
+                    self.window, shared=True,
+                )
             else:
                 # all taps share one offset -> 4x4-patch gather fast path
                 # (deform_conv2d_shared_offset: 16 corner gathers, not 36)

@@ -66,6 +66,9 @@ def _dcn_kernel(
     o: int,
     hwin: int,
     wcwin: int,
+    kh: int = 3,
+    kw: int = 3,
+    shared: bool = False,
 ):
     i = pl.program_id(0)
     total = pl.num_programs(0)
@@ -105,48 +108,70 @@ def _dcn_kernel(
     # f32 operands need multi-pass MXU precision: the default single bf16
     # pass injects ~1e-2 error, which breaks the "exact within the window"
     # contract. bf16 operands are single-pass either way.
-    prec = None if win_s.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    cdtype = win_s.dtype
+    prec = None if cdtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    # NOTE: intermediates are built in f32 and cast at the matmul inputs.
+    # Building r_mat natively in bf16 crashes the Mosaic compiler here,
+    # and bf16 matmul accumulators are rejected ("acc must be 32-bit"),
+    # so the f32-build + cast pattern is the supported one.
 
-    # per-tap: keeps peak VMEM at one (P, wcwin) intermediate instead of
-    # a (k2*P, wcwin) block (which OOMs scoped vmem at the model shapes)
-    acc = jnp.zeros((p_tile, o), jnp.float32)
-    for k in range(k2):
-        ly = qd[:, k : k + 1]                 # (P, 1) local row coord
-        lx = qd[:, k2 + k : k2 + k + 1]       # (P, 1) local col coord
-        mk = qd[:, 2 * k2 + k : 2 * k2 + k + 1]
-
-        # stage 1: 2-sparse row interpolation matrix -> MXU
+    def stage1(ly):
+        """Row interpolation: 2-sparse matrix -> MXU. (P, wcwin) f32."""
         y0 = jnp.floor(ly)
         fy = ly - y0
         y0i = y0.astype(jnp.int32)
         r_mat = jnp.where(riota == y0i, 1.0 - fy, 0.0) + jnp.where(
             riota == y0i + 1, fy, 0.0
         )
-        v = jax.lax.dot_general(
-            r_mat.astype(win.dtype),
+        return jax.lax.dot_general(
+            r_mat.astype(cdtype),
             win,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
-        )  # (P, wcwin)
+        )
 
-        # stage 2: column weights on the flat lane index (col = lane // cpg)
+    def colweights(lx):
+        """Column weights on the flat lane index (col = lane // cpg)."""
         x0 = jnp.floor(lx)
         fx = lx - x0
         x0i = x0.astype(jnp.int32)
-        cw = jnp.where(col == x0i, 1.0 - fx, 0.0) + jnp.where(
+        return jnp.where(col == x0i, 1.0 - fx, 0.0) + jnp.where(
             col == x0i + 1, fx, 0.0
         )
-        u = (v * cw * mk).astype(w_ref.dtype)
 
-        # fused column-reduce + conv-weight contraction on the MXU
-        acc = acc + jax.lax.dot_general(
+    def stage2(acc, v, cw, mk, k):
+        """Fused column-reduce + conv-weight contraction on the MXU."""
+        u = (v * cw * mk).astype(cdtype)
+        return acc + jax.lax.dot_general(
             u,
             w_ref[0, k],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )
+
+    # per-tap: keeps peak VMEM at one (P, wcwin) intermediate instead of
+    # a (k2*P, wcwin) block (which OOMs scoped vmem at the model shapes)
+    acc = jnp.zeros((p_tile, o), jnp.float32)
+    if shared:
+        # repeat mode: every tap shares one (dy, dx) per pixel, so tap
+        # (ty, tx) samples at center + (ty, tx) — one row interpolation
+        # per kernel ROW and one column-weight build per kernel COLUMN
+        # instead of per tap. qd lanes: [ly, lx, mask_0..mask_{k2-1}].
+        ly_c = qd[:, 0:1]
+        lx_c = qd[:, 1:2]
+        cws = [colweights(lx_c + float(tx - (kw - 1) // 2)) for tx in range(kw)]
+        for ty in range(kh):
+            v = stage1(ly_c + float(ty - (kh - 1) // 2))
+            for tx in range(kw):
+                k = ty * kw + tx
+                acc = stage2(acc, v, cws[tx], qd[:, 2 + k : 3 + k], k)
+    else:
+        for k in range(k2):
+            v = stage1(qd[:, k : k + 1])
+            cw = colweights(qd[:, k2 + k : k2 + k + 1])
+            acc = stage2(acc, v, cw, qd[:, 2 * k2 + k : 2 * k2 + k + 1], k)
 
     g = i % n_groups
 
@@ -169,6 +194,7 @@ def deform_conv2d_pallas(
     max_displacement: int = 8,
     band: int = 8,
     xtile: int = 32,
+    shared_taps: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Windowed modulated deformable conv (stride 1, 'same', dilation 1).
@@ -181,6 +207,12 @@ def deform_conv2d_pallas(
 
     Displacements are clamped to ``±max_displacement``; within the window
     the result matches the exact gather formulation.
+
+    ``shared_taps``: the reference's ``repeat=True`` mode — one (dy, dx)
+    per (pixel, group) broadcast to every tap. Pass offset shaped
+    (N, H, W, G, 1, 2); the kernel then builds one row-interpolation per
+    kernel row and one column-weight set per kernel column instead of
+    per tap (~kh-fold less stage-1 work).
 
     Mosaic requires every manual DMA slice of the (8, 128)-tiled source
     planes to be tile-aligned in both sublane (rows) and lane (w*cpg)
@@ -196,7 +228,8 @@ def deform_conv2d_pallas(
     assert wc == c, (weight.shape, x.shape)
     k2 = kh * kw
     g = offset.shape[3]
-    assert offset.shape == (n, h, w, g, k2, 2), offset.shape
+    k_off = 1 if shared_taps else k2
+    assert offset.shape == (n, h, w, g, k_off, 2), (offset.shape, shared_taps)
     assert mask.shape == (n, h, w, g, k2), mask.shape
     assert c % g == 0, (c, g)
     cpg = c // g
@@ -240,16 +273,22 @@ def deform_conv2d_pallas(
     off = jnp.clip(offset.astype(jnp.float32), -float(d), float(d))
     gy = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1, 1, 1)
     gx = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w, 1, 1)
-    ty = (jnp.arange(kh, dtype=jnp.float32) - pad_y).repeat(kw).reshape(1, 1, 1, 1, k2)
-    tx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) - pad_x, kh).reshape(1, 1, 1, 1, k2)
-    sy = gy + ty + off[..., 0]  # (n, h, w, g, k2)
-    sx = gx + tx + off[..., 1]
+    if shared_taps:
+        # center-tap coordinates only; the kernel adds the tap shifts
+        sy = gy + off[..., 0]  # (n, h, w, g, 1)
+        sx = gx + off[..., 1]
+    else:
+        ty = (jnp.arange(kh, dtype=jnp.float32) - pad_y).repeat(kw).reshape(1, 1, 1, 1, k2)
+        tx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) - pad_x, kh).reshape(1, 1, 1, 1, k2)
+        sy = gy + ty + off[..., 0]  # (n, h, w, g, k2)
+        sx = gx + tx + off[..., 1]
 
     def cellwise(a):
-        """(n, h, w, g, k2) -> (n*g, n_cells, P, k2), P row-major."""
+        """(n, h, w, g, K) -> (n*g, n_cells, P, K), P row-major."""
+        kk = a.shape[-1]
         a = jnp.pad(a, ((0, 0), (0, h_pad), (0, w_pad), (0, 0), (0, 0)))
-        a = a.reshape(n, n_bands, band, n_tiles, xtile, g, k2)
-        return a.transpose(0, 5, 1, 3, 2, 4, 6).reshape(n * g, n_cells, p_tile, k2)
+        a = a.reshape(n, n_bands, band, n_tiles, xtile, g, kk)
+        return a.transpose(0, 5, 1, 3, 2, 4, 6).reshape(n * g, n_cells, p_tile, kk)
 
     # local window coordinates: ly = sy - (cell_row0 - halo), in unpadded
     # frame coords shifted per cell
@@ -260,8 +299,9 @@ def deform_conv2d_pallas(
         jnp.tile(jnp.arange(n_tiles, dtype=jnp.float32) * xtile - halo, n_bands)
     ).reshape(1, n_cells, 1, 1)
     mkq = cellwise(mask.astype(jnp.float32))
-    # lanes: [ly_0..ly_{k2-1} | lx_0.. | mask_0..]
-    qd = jnp.concatenate([ly, lx, mkq], axis=-1)  # (NG, cells, P, 3*k2)
+    # lanes: [ly_0..ly_{K-1} | lx_0.. | mask_0..] (K=1 when shared_taps)
+    qd = jnp.concatenate([ly, lx, mkq], axis=-1)  # (NG, cells, P, 2*K + k2)
+    qd_lanes = 2 * k_off + k2
 
     # weights expanded onto the flat lane axis: W[g, k, w*cpg + ch, o]
     w2 = weight.reshape(k2, g, cpg, o).transpose(1, 0, 2, 3)  # (g, k2, cpg, o)
@@ -279,6 +319,9 @@ def deform_conv2d_pallas(
         o=o,
         hwin=hwin,
         wcwin=wcwin,
+        kh=kh,
+        kw=kw,
+        shared=shared_taps,
     )
     total = n * n_cells * g
     out = pl.pallas_call(
@@ -286,7 +329,7 @@ def deform_conv2d_pallas(
         grid=(total,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, p_tile, 3 * k2),
+                (1, 1, p_tile, qd_lanes),
                 lambda i: (
                     (i // (g * n_cells)) * g + i % g,
                     (i // g) % n_cells,
@@ -325,7 +368,9 @@ def deform_conv2d_pallas(
 
 
 @functools.lru_cache(maxsize=None)
-def _vjp_wrapped(max_displacement: int, band: int, xtile: int, interpret: bool):
+def _vjp_wrapped(
+    max_displacement: int, band: int, xtile: int, shared_taps: bool, interpret: bool
+):
     """custom_vjp closure per static window config.
 
     Forward: the Mosaic kernel above. Backward: ``jax.vjp`` of the XLA
@@ -340,7 +385,7 @@ def _vjp_wrapped(max_displacement: int, band: int, xtile: int, interpret: bool):
         return deform_conv2d_pallas(
             x, offset, mask, weight, bias,
             max_displacement=max_displacement, band=band, xtile=xtile,
-            interpret=interpret,
+            shared_taps=shared_taps, interpret=interpret,
         )
 
     def fwd(x, offset, mask, weight, bias):
@@ -350,12 +395,16 @@ def _vjp_wrapped(max_displacement: int, band: int, xtile: int, interpret: bool):
         from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
 
         x, offset, mask, weight, bias = res
-        _, pullback = jax.vjp(
-            lambda *a: deform_conv2d_windowed(
-                *a, max_displacement=max_displacement
-            ),
-            x, offset, mask, weight, bias,
-        )
+        k2 = weight.shape[0] * weight.shape[1]
+
+        def f(x, offset, mask, weight, bias):
+            if shared_taps:
+                offset = jnp.broadcast_to(offset, offset.shape[:4] + (k2, 2))
+            return deform_conv2d_windowed(
+                x, offset, mask, weight, bias, max_displacement=max_displacement
+            )
+
+        _, pullback = jax.vjp(f, x, offset, mask, weight, bias)
         return pullback(g_out.astype(jnp.float32) if g_out.dtype != x.dtype else g_out)
 
     op.defvjp(fwd, bwd)
@@ -372,10 +421,11 @@ def deform_conv2d_pallas_vjp(
     max_displacement: int = 8,
     band: int = 8,
     xtile: int = 32,
+    shared_taps: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Differentiable windowed DCN: Pallas forward, XLA-windowed backward."""
-    op = _vjp_wrapped(max_displacement, band, xtile, interpret)
+    op = _vjp_wrapped(max_displacement, band, xtile, shared_taps, interpret)
     if bias is None:
         bias = jnp.zeros((weight.shape[-1],), x.dtype)
     return op(x, offset, mask, weight, bias)

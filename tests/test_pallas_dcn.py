@@ -139,3 +139,63 @@ def test_pallas_vjp_matches_xla_windowed_grads():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3, err_msg=name
         )
+
+
+def test_pallas_windowed_warp_matches_clipped_gather_warp():
+    from crfp_tpu.ops.pallas.warp import flow_warp_windowed_pallas
+    from crfp_tpu.ops.warp import flow_warp
+
+    rng = np.random.default_rng(6)
+    n, h, w, c = 1, 20, 28, 4
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-12, 12, (n, h, w, 2)), jnp.float32)
+
+    # clamping displacements == clamping the flow itself for a plain warp
+    want = np.asarray(flow_warp(x, jnp.clip(flow, -8, 8)))
+    got = np.asarray(
+        flow_warp_windowed_pallas(x, flow, max_displacement=8, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_flow_warp_maybe_windowed_dispatch():
+    from crfp_tpu.ops.pallas.warp import flow_warp_maybe_windowed
+    from crfp_tpu.ops.warp import flow_warp
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 12, 16, 4)), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-3, 3, (1, 12, 16, 2)), jnp.float32)
+    # window None == exact warp; small flows within window == exact warp
+    np.testing.assert_allclose(
+        np.asarray(flow_warp_maybe_windowed(x, flow, None)),
+        np.asarray(flow_warp(x, flow)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(flow_warp_maybe_windowed(x, flow, 8)),
+        np.asarray(flow_warp(x, flow)),
+        atol=2e-6,
+    )
+
+
+def test_pallas_shared_taps_mode():
+    # shared_taps=True with (N,H,W,G,1,2) offsets == broadcast offsets
+    rng = np.random.default_rng(8)
+    n, h, w, c = 1, 24, 32, 4
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    shared = jnp.asarray(rng.uniform(-5, 5, (n, h, w, 1, 1, 2)), jnp.float32)
+    mk = jnp.asarray(rng.uniform(0, 1, (n, h, w, 1, 9)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.2, jnp.float32)
+
+    want = np.asarray(
+        deform_conv2d_pallas(
+            x, jnp.broadcast_to(shared, (n, h, w, 1, 9, 2)), mk, wt, None,
+            max_displacement=8, interpret=True,
+        )
+    )
+    got = np.asarray(
+        deform_conv2d_pallas(
+            x, shared, mk, wt, None,
+            max_displacement=8, shared_taps=True, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
