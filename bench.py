@@ -14,6 +14,10 @@ The model runs in the TPU-native inference configuration:
   budget), and on the HR state warp — exact up to the clamp
   (tests/test_pallas_dcn.py), the same bounded-support trade the
   reference's own runtime makes spatially with warp_size.
+- the full-resolution tail in space-to-depth(4) layout (hr_s2d):
+  bit-exact kernel-rearranged convs at C=48-64 instead of C<=6, so TPU
+  HBM tile padding stops inflating every HR pass
+  (tests/test_models.py::test_hr_s2d_bit_equivalence_v18).
 - bfloat16 weights/activations on the systolic array with f32
   accumulation (56 dB agreement with the f32 parity path;
   tests/test_bf16.py).
@@ -36,7 +40,8 @@ import numpy as np
 def main() -> None:
     from crfp_tpu.models import CRFP, ModelConfig, StreamingRunner
 
-    cfg = ModelConfig(variant="v18", mid_channels=32, dcn_window=8, dcn_window_hr=32)
+    cfg = ModelConfig(variant="v18", mid_channels=32, dcn_window=8, dcn_window_hr=32,
+                      hr_s2d=True)
     model = CRFP(cfg)
     h, w, s = 90, 160, cfg.scale
     rng = np.random.default_rng(0)

@@ -1,4 +1,11 @@
 from crfp_tpu.models.crfp import CRFP, ModelConfig
+from crfp_tpu.models.runtime import CRFPRuntimeSimple, CRFPRuntimeV18
 from crfp_tpu.models.streaming import StreamingRunner
 
-__all__ = ["CRFP", "ModelConfig", "StreamingRunner"]
+__all__ = [
+    "CRFP",
+    "ModelConfig",
+    "StreamingRunner",
+    "CRFPRuntimeSimple",
+    "CRFPRuntimeV18",
+]

@@ -46,6 +46,7 @@ from crfp_tpu.nn.align import DCNAlign, PlainAlign
 from crfp_tpu.nn.flow import FNet, SPyNet
 from crfp_tpu.nn.layers import (
     Conv,
+    ConvS2D,
     PixelShufflePack,
     PixelUnShufflePackV2,
     ResidualBlocksWithInputConv,
@@ -53,6 +54,7 @@ from crfp_tpu.nn.layers import (
 )
 from crfp_tpu.nn.lte import LTESimpleHR, LTESimpleHRPS, LTESimpleHRSingle, LTESimpleLR
 from crfp_tpu.ops.color import rgb2y
+from crfp_tpu.ops.shuffle import pixel_shuffle, pixel_unshuffle
 from crfp_tpu.ops.resize import resize_bilinear, upsample
 from crfp_tpu.ops.warp import flow_warp
 
@@ -84,6 +86,12 @@ class ModelConfig:
     # at 8x resolution, so its displacement budget should be ~4x the
     # 1/4-res stages' (e.g. 32 when dcn_window=8). None = exact gathers.
     dcn_window_hr: int | None = None
+    # run the full-resolution tail (encoder_hr, resblocks_3, conv_tttf,
+    # conv_last, fovea blends, HR state) in space-to-depth(4) layout:
+    # bit-exact (ConvS2D), same parameters, but C=48-64 instead of 1-6 so
+    # TPU HBM tile padding stops inflating every HR pass ~32x
+    # (docs/PERF.md). v18 only for now.
+    hr_s2d: bool = False
 
     @property
     def last_channels(self) -> int:
@@ -112,6 +120,8 @@ class CRFP(nn.Module):
         assert cfg.variant in VARIANTS, cfg.variant
         if cfg.is_dsv:
             assert cfg.hr_dcn, "the DSV trunk always runs the HR-level DCN"
+        if cfg.hr_s2d:
+            assert cfg.variant == "v18", "hr_s2d is implemented for v18"
         if cfg.variant in ("no_dcn", "basic_fvsr"):
             # the reference's hr_dcn=True branches of these models reference
             # undefined locals (CRFP.py:1895-1938, 2245-2247) — only the
@@ -153,20 +163,27 @@ class CRFP(nn.Module):
             self.conv_tttf_1 = Conv(m, name="conv_tttf_1")
             self.conv_tttf_2 = Conv(m, name="conv_tttf_2")
         else:
-            self.encoder_hr = LTESimpleHRSingle(last)
-            self.conv_tttf = Conv(last, name="conv_tttf")
+            self.encoder_hr = LTESimpleHRSingle(last, s2d=cfg.hr_s2d)
+            if cfg.hr_s2d:
+                self.conv_tttf = ConvS2D(last, name="conv_tttf")
+            else:
+                self.conv_tttf = Conv(last, name="conv_tttf")
 
         self.forward_resblocks_0 = ResidualBlocksWithInputConv(m, 1)
         self.forward_resblocks_1 = ResidualBlocksWithInputConv(m, 1)
         self.forward_resblocks_2 = ResidualBlocksWithInputConv(m, 1)
-        self.forward_resblocks_3 = ResidualBlocksWithInputConv(last if cfg.hr_dcn else m, 1)
+        self.forward_resblocks_3 = ResidualBlocksWithInputConv(
+            last if cfg.hr_dcn else m, 1, s2d=cfg.hr_s2d)
 
         self.downsample = PixelUnShufflePackV2(m, 4, 3)
         up_ch = cfg.keep_channels if cfg.is_dsv else m
         self.upsample = PixelShufflePack(up_ch, 2, 3)
         self.upsample_post = PixelShufflePack(last, 4, 3)
 
-        self.conv_last = Conv(1 if cfg.y_only else 3, name="conv_last")
+        if cfg.hr_s2d:
+            self.conv_last = ConvS2D(1 if cfg.y_only else 3, name="conv_last")
+        else:
+            self.conv_last = Conv(1 if cfg.y_only else 3, name="conv_last")
 
     # ---------------- per-frame pieces ----------------
 
@@ -176,8 +193,18 @@ class CRFP(nn.Module):
         s = cfg.scale
         lr_up = upsample(lr, s)
         mkf = mk.astype(lr.dtype)
-        blend = fv * mkf + lr_up * (1.0 - mkf)
         x_lr = self.encoder_lr(lr)
+        if cfg.hr_s2d:
+            # all HR elementwise + the encoder run in s2d(4); s2d commutes
+            # with c-major concat and elementwise math, so this is exact.
+            # The 1-channel HR mask becomes 16 phase channels; tiling it
+            # C times aligns it with the c-major (c*16 + phase) layout.
+            fv_s, mk_s, up_s = (pixel_unshuffle(a, 4) for a in (fv, mkf, lr_up))
+            mk3 = jnp.tile(mk_s, (1, 1, 1, 3))
+            blend = fv_s * mk3 + up_s * (1.0 - mk3)
+            hr_in = jnp.concatenate([blend, up_s], axis=-1)
+            return x_lr, self.encoder_hr(hr_in)
+        blend = fv * mkf + lr_up * (1.0 - mkf)
         hr_in = jnp.concatenate([blend, lr_up], axis=-1)
         if cfg.variant == "basic_fvsr":
             x_hr, _, _ = self.encoder_hr(hr_in)  # quarter-res, mid channels
@@ -196,9 +223,14 @@ class CRFP(nn.Module):
         if cfg.variant == "basic_fvsr":
             z = jnp.zeros((batch, h * 2, w * 2, cfg.mid_channels), dtype)
             return {"p": (z, z, z, z)}
-        state: State = {
-            "hr": jnp.zeros((batch, h * s, w * s, cfg.last_channels), dtype)
-        }
+        if cfg.hr_s2d:
+            state: State = {
+                "hr": jnp.zeros((batch, h * 2, w * 2, cfg.last_channels * 16), dtype)
+            }
+        else:
+            state = {
+                "hr": jnp.zeros((batch, h * s, w * s, cfg.last_channels), dtype)
+            }
         if cfg.is_dsv:
             sc = cfg.state_channels
             state["lv"] = tuple(
@@ -223,10 +255,15 @@ class CRFP(nn.Module):
     def _reconstruct(self, y: jax.Array, x_hr: jax.Array, mk: jax.Array, lr: jax.Array):
         """Fovea texture blend + conv_last + bilinear-8x base residual."""
         mkf = mk.astype(y.dtype)
+        if self.cfg.hr_s2d:
+            mkf = jnp.tile(pixel_unshuffle(mkf, 4), (1, 1, 1, y.shape[-1] // 16))
         blended = self.conv_tttf(jnp.concatenate([y, x_hr], axis=-1))
         y = mkf * blended + (1.0 - mkf) * y
         y = lrelu(y)
-        return y, self.conv_last(y) + self._base(lr)
+        out = self.conv_last(y)
+        if self.cfg.hr_s2d:
+            out = pixel_shuffle(out, 4)
+        return y, out + self._base(lr)
 
     def _cra_blend(self, x, x_hr_lv, mk_lv2, idx):
         blend = getattr(self, f"conv_tttf_{idx}")(jnp.concatenate([x, x_hr_lv], axis=-1))
@@ -244,7 +281,10 @@ class CRFP(nn.Module):
         n, h, w, _ = lr.shape
         m, last = cfg.mid_channels, cfg.last_channels
         z_lv3 = jnp.zeros((n, h * 2, w * 2, m), lr.dtype)
-        z_hr = jnp.zeros((n, h * cfg.scale, w * cfg.scale, last), lr.dtype)
+        if cfg.hr_s2d:
+            z_hr = jnp.zeros((n, h * 2, w * 2, last * 16), lr.dtype)
+        else:
+            z_hr = jnp.zeros((n, h * cfg.scale, w * cfg.scale, last), lr.dtype)
         feat_prop_lv0 = self.upsample(x_lr)
 
         if cfg.variant == "basic_fvsr":
@@ -278,7 +318,7 @@ class CRFP(nn.Module):
                     x = self._cra_blend(x, (x_hr_lv0, x_hr_lv1, x_hr_lv2)[idx], mk_lv2, idx)
                 x, carry = self._dsv_chunk(x)
                 lvs.append(carry)
-            x = lrelu(self.upsample_post(x))
+            x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
             y = self.forward_resblocks_3(jnp.concatenate([x, z_hr], axis=-1))
             y, out = self._reconstruct(y, x_hr_lv3, mk, lr)
             return {"hr": y, "lv": tuple(lvs)}, out
@@ -350,9 +390,19 @@ class CRFP(nn.Module):
                 mk_lv2 = resize_bilinear(mk.astype(lr.dtype), (h * 2, w * 2))
             else:
                 x_hr_lv3 = x_hr
-            lv3_state = self.downsample(hr_state)
+            if cfg.hr_s2d:
+                # state lives in s2d(4); the downsample's space-to-depth is
+                # the identity on it, and the warp kernel's prep transposes
+                # absorb the depth<->space relayouts
+                lv3_state = self.downsample(hr_state, pre_shuffled=True)
+                hr_state_full = pixel_shuffle(hr_state, 4)
+                hr_warped_full = self._warp_hr(hr_state_full, flow_lv0)
+                hr_warped = pixel_unshuffle(hr_warped_full, 4)
+            else:
+                lv3_state = self.downsample(hr_state)
+                hr_state_full, hr_warped_full = hr_state, None
+                hr_warped = self._warp_hr(hr_state, flow_lv0)
             lv3_warped = flow_warp(lv3_state, flow_lv3)
-            hr_warped = self._warp_hr(hr_state, flow_lv0)
             f0, f1, f2 = state["lv"]
             mixed = flow_warp(jnp.concatenate([f0, f1, f2], axis=-1), flow_lv3)
             f0, f1, f2 = jnp.split(mixed, 3, axis=-1)
@@ -379,12 +429,24 @@ class CRFP(nn.Module):
                 x, carry = self._dsv_chunk(x)
                 lvs.append(carry)
 
-            x = lrelu(self.upsample_post(x))
-            aligned, _ = self.dcn_3(x, hr_state, hr_warped, flow_lv0,
-                                    offset if cfg.offset_prop else None)
+            x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
+            if cfg.hr_s2d:
+                if hr_warped_full is None:
+                    hr_warped_full = pixel_shuffle(hr_warped, 4)
+                aligned_full, _ = self.dcn_3(
+                    pixel_shuffle(x, 4), hr_state_full, hr_warped_full,
+                    flow_lv0, offset if cfg.offset_prop else None)
+                aligned = pixel_unshuffle(aligned_full, 4)
+            else:
+                aligned, _ = self.dcn_3(x, hr_state, hr_warped, flow_lv0,
+                                        offset if cfg.offset_prop else None)
             y = jnp.concatenate([x, aligned], axis=-1)
             if fg_lv3 is not None:
-                y = y * fg_lv3
+                if cfg.hr_s2d:
+                    fg_s = pixel_unshuffle(fg_lv3, 4)
+                    y = y * jnp.tile(fg_s, (1, 1, 1, y.shape[-1] // 16))
+                else:
+                    y = y * fg_lv3
             y = self.forward_resblocks_3(y)
             y, out = self._reconstruct(y, x_hr_lv3, mk, lr)
             return {"hr": y, "lv": tuple(lvs)}, out

@@ -192,3 +192,127 @@ class CRFPRuntimeV18(nn.Module):
         lv3 = lrelu(lv3)
         out = self.conv_last(lv3) + upsample(lr, self.cfg.scale)
         return lv3, out
+
+
+class CRFPRuntimeSimple(nn.Module):
+    """Runtime (warp_size ROI) counterpart of the v13/v15 trunks.
+
+    Mirrors MRCF_simple_v13 / MRCF_simple_v15
+    (/root/reference/model/CRFP_runtime.py:7446-8052, 8053-8363): no DSV
+    channel-split state — the only recurrent state is the HR feature at
+    the ROI. Each alignment level's DCN consumes the ORIGINAL upsampled
+    feature ROI (levels chain only through offset propagation, the
+    reference's quirk), every steady-state resblock stitches its ROI
+    result into a full-frame conv of the upsampled feature, and v15 adds
+    the warped state as a third concat input (:8249 vs :7631).
+
+    Divergence note: the reference's stitching ``ResidualBlocksWithInputConv``
+    sizes its full-frame conv at ``in_channels // 3`` (CRFP_runtime.py:481),
+    which only type-checks for the v15 3-way concat; for v13 the 2-way
+    concat makes that conv unusable (latent bug). Here the full-frame conv
+    is sized by its actual input (ResidualBlocksWithInputConvV2).
+    """
+
+    cfg: ModelConfig
+    warp_size: tuple[int, int] = (720, 720)
+
+    def setup(self):
+        cfg = self.cfg
+        assert cfg.variant in ("v13", "v15"), cfg.variant
+        m, last = cfg.mid_channels, cfg.last_channels
+        dg, dk, mag = cfg.deform_groups, cfg.dcn_kernel, cfg.max_residue_magnitude
+        self.spynet = FNet()
+        self.dcn_0 = DCNAlign(m, dg, dk, mag, window=cfg.dcn_window)
+        self.dcn_1 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
+                              window=cfg.dcn_window)
+        self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
+                              window=cfg.dcn_window)
+        self.dcn_3 = DCNAlign(last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
+                              interpolate="pixelshuffle", window=cfg.dcn_window_hr)
+        self.encoder_lr = LTESimpleLR(m)
+        self.encoder_hr = LTESimpleHRSingle(last)
+        self.conv_tttf = Conv(last, name="conv_tttf")
+        self.forward_resblocks_0_ = ResidualBlocksWithInputConv(m, 1)
+        self.forward_resblocks_1_ = ResidualBlocksWithInputConv(m, 1)
+        self.forward_resblocks_2_ = ResidualBlocksWithInputConv(m, 1)
+        self.forward_resblocks_3_ = ResidualBlocksWithInputConv(last, 1)
+        self.forward_resblocks_0 = ResidualBlocksWithInputConvV2(m, 1)
+        self.forward_resblocks_1 = ResidualBlocksWithInputConvV2(m, 1)
+        self.forward_resblocks_2 = ResidualBlocksWithInputConvV2(m, 1)
+        self.forward_resblocks_3 = ResidualBlocksWithInputConvV2(last, 1)
+        self.downsample = PixelUnShufflePackV2(m, 4, 3)
+        self.upsample = PixelShufflePack(m, 2, 3)
+        self.upsample_post = PixelShufflePack(last, 4, 3)
+        self.conv_last = Conv(1 if cfg.y_only else 3, name="conv_last")
+
+    def encode(self, lr: jax.Array, fv: jax.Array):
+        x_lr = self.encoder_lr(lr)
+        x_hr = self.encoder_hr(jnp.concatenate([fv, fv], axis=-1))
+        return x_lr, x_hr
+
+    def compute_flow(self, lr_cur: jax.Array, lr_prev: jax.Array) -> jax.Array:
+        wph, wpw = self.warp_size
+        return self.spynet(
+            lr_cur[:, : wph // 8, : wpw // 8], lr_prev[:, : wph // 8, : wpw // 8]
+        )
+
+    def _finish(self, lv3, x_hr, lr):
+        if x_hr is not None:
+            fh, fw = x_hr.shape[1:3]
+            corner = lv3[:, :fh, :fw]
+            blended = self.conv_tttf(jnp.concatenate([corner, x_hr], axis=-1))
+            lv3 = jax.lax.dynamic_update_slice(lv3, blended, (0, 0, 0, 0))
+        lv3 = lrelu(lv3)
+        out = self.conv_last(lv3) + upsample(lr, self.cfg.scale)
+        return lv3, out
+
+    def step0(self, lr, x_lr, x_hr):
+        wph, wpw = self.warp_size
+        x = self.upsample(x_lr)
+        x = self.forward_resblocks_0_(x)
+        x = self.forward_resblocks_1_(x)
+        x = self.forward_resblocks_2_(x)
+        x = lrelu(self.upsample_post(x))
+        lv3 = self.forward_resblocks_3_(x)
+        lv3, out = self._finish(lv3, x_hr, lr)
+        return {"hr": lv3[:, :wph, :wpw]}, out
+
+    def step(self, state: State, lr, pre_lr, x_lr, x_hr):
+        cfg = self.cfg
+        wph, wpw = self.warp_size
+        three_way = cfg.variant == "v15"
+        flow = self.compute_flow(lr, pre_lr)
+        feat_prop_lv0 = self.upsample(x_lr)  # mid @ 2h x 2w, full frame
+
+        flow_lv3 = upsample(flow, 2) * 2.0
+        flow_lv0 = upsample(flow, cfg.scale) * float(cfg.scale)
+
+        hr_state = state["hr"]  # last @ ROI
+        from crfp_tpu.ops.pallas.warp import flow_warp_maybe_windowed
+
+        hr_warped = flow_warp_maybe_windowed(hr_state, flow_lv0, cfg.dcn_window_hr)
+        lv3_warped = self.downsample(hr_warped)
+        lv3_state = self.downsample(hr_state)
+
+        roi_lv0 = feat_prop_lv0[:, : wph // 4, : wpw // 4]
+        offset = None
+        x = roi_lv0
+        for dcn, rb in (
+            (self.dcn_0, self.forward_resblocks_0),
+            (self.dcn_1, self.forward_resblocks_1),
+            (self.dcn_2, self.forward_resblocks_2),
+        ):
+            aligned, offset_feat = dcn(roi_lv0, lv3_state, lv3_warped, flow_lv3,
+                                       offset if cfg.offset_prop else None)
+            offset = offset_feat
+            parts = [roi_lv0, aligned] + ([lv3_warped] if three_way else [])
+            x = rb(jnp.concatenate(parts, axis=-1), feat_prop_lv0)
+
+        full_lv3 = lrelu(self.upsample_post(x))  # last @ 8h x 8w
+        roi_lv3 = full_lv3[:, :wph, :wpw]
+        aligned, _ = self.dcn_3(roi_lv3, hr_state, hr_warped, flow_lv0,
+                                offset if cfg.offset_prop else None)
+        parts3 = [roi_lv3, aligned] + ([hr_warped] if three_way else [])
+        lv3 = self.forward_resblocks_3(jnp.concatenate(parts3, axis=-1), full_lv3)
+        lv3, out = self._finish(lv3, x_hr, lr)
+        return {"hr": lv3[:, :wph, :wpw]}, out

@@ -100,17 +100,22 @@ def conv3x3(features: int, name: str | None = None, kernel_init: Callable | None
 
 
 class ResidualBlockNoBN(nn.Module):
-    """conv-relu-conv residual (/root/reference/model/CRFP.py:433-481)."""
+    """conv-relu-conv residual (/root/reference/model/CRFP.py:433-481).
+
+    ``s2d``: evaluate in space-to-depth(4) layout via :class:`ConvS2D`
+    (same parameters, bit-exact; see ConvS2D docstring)."""
 
     mid_channels: int
     res_scale: float = 1.0
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         init = kaiming_normal_fan_in(0.1) if self.res_scale == 1.0 else None
-        out = Conv(self.mid_channels, kernel_init=init, name="conv1")(x)
+        conv = (lambda name: ConvS2D(self.mid_channels, kernel_init=init, name=name))             if self.s2d else (lambda name: Conv(self.mid_channels, kernel_init=init, name=name))
+        out = conv("conv1")(x)
         out = jax.nn.relu(out)
-        out = Conv(self.mid_channels, kernel_init=init, name="conv2")(out)
+        out = conv("conv2")(out)
         return x + out * self.res_scale
 
 
@@ -119,13 +124,17 @@ class ResidualBlocksWithInputConv(nn.Module):
 
     out_channels: int
     num_blocks: int = 1
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = Conv(self.out_channels, name="input_conv")(x)
+        if self.s2d:
+            x = ConvS2D(self.out_channels, name="input_conv")(x)
+        else:
+            x = Conv(self.out_channels, name="input_conv")(x)
         x = lrelu(x)
         for i in range(self.num_blocks):
-            x = ResidualBlockNoBN(self.out_channels, name=f"block{i}")(x)
+            x = ResidualBlockNoBN(self.out_channels, s2d=self.s2d, name=f"block{i}")(x)
         return x
 
 
@@ -137,7 +146,7 @@ class PixelShufflePack(nn.Module):
     upsample_kernel: int = 3
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, keep_depth: bool = False) -> jax.Array:
         s = self.scale_factor
         x = Conv(
             self.out_channels * s * s,
@@ -145,6 +154,11 @@ class PixelShufflePack(nn.Module):
             kernel_init=kaiming_normal_fan_in(1.0),
             name="upsample_conv",
         )(x)
+        if keep_depth:
+            # the conv output IS the pixel_shuffle(s) s2d layout of the
+            # upsampled result (same channel order) — callers running the
+            # high-res tail in s2d skip the depth-to-space round trip
+            return x
         return pixel_shuffle(x, s)
 
 
@@ -156,11 +170,103 @@ class PixelUnShufflePackV2(nn.Module):
     downsample_kernel: int = 3
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        x = pixel_unshuffle(x, self.scale_factor)
+    def __call__(self, x: jax.Array, pre_shuffled: bool = False) -> jax.Array:
+        if not pre_shuffled:
+            # pre_shuffled: x is already in pixel_unshuffle(s) layout (the
+            # s2d HR-tail state) — identical bytes, skip the relayout
+            x = pixel_unshuffle(x, self.scale_factor)
         return Conv(
             self.out_channels,
             kernel_size=self.downsample_kernel,
             kernel_init=kaiming_normal_fan_in(1.0),
             name="downsample_conv",
         )(x)
+
+
+class _ConvS2DParams(nn.Module):
+    k: int
+    cin: int
+    cout: int
+    use_bias: bool
+    kinit: Callable
+    binit: Callable
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", self.kinit, (self.k, self.k, self.cin, self.cout))
+        b = self.param("bias", self.binit, (self.cout,)) if self.use_bias else None
+        return w, b
+
+
+class ConvS2D(nn.Module):
+    """A 'same' conv evaluated in space-to-depth(r) layout — bit-exact.
+
+    Holds the SAME parameter (kh, kw, cin, cout) as :class:`Conv` (so
+    checkpoints and the torch converter are untouched) but consumes and
+    produces tensors in pixel-unshuffle(r) layout (N, H/r, W/r, cin*r^2).
+    Why: full-resolution activations in this model have 1-6 channels, and
+    TPU HBM tiles pad the minor dim to 128 lanes — every elementwise or
+    conv pass over an (H, W, 4) tensor moves ~32x its logical bytes
+    (docs/PERF.md). In s2d layout the same math runs at C*r^2 channels on
+    1/r^2 the pixels.
+
+    The s2d kernel is built by index rearrangement: an HR output pixel
+    (r*Y+ao, r*X+bo) reading HR tap (dy, dx) reads s2d block
+    (Y + (ao+dy-pad)//r, X + ...) channel slot ((ao+dy-pad)%r, ...), so
+    each HR tap value appears once per (ao, bo) phase in a 3x3 s2d
+    kernel (for kh,kw<=r+1). Zero 'same' padding maps exactly (blocks
+    align with the frame border).
+    """
+
+    features: int
+    r: int = 4
+    kernel_size: int = 3
+    kernel_init: Callable | None = None
+    bias_init: Callable | None = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, r = self.kernel_size, self.r
+        r2 = r * r
+        cin_s2d = x.shape[-1]
+        assert cin_s2d % r2 == 0, (x.shape, r)
+        cin = cin_s2d // r2
+        pad = (k - 1) // 2
+        assert pad <= r, "tap reach beyond one s2d block needs a larger kernel"
+        fan_in = k * k * cin
+        kinit = self.kernel_init or torch_conv_kernel_init
+        binit = self.bias_init or torch_conv_bias_init(fan_in)
+        # parameters live under a child scope named 'conv' with the HR
+        # shapes, so the param tree is IDENTICAL to :class:`Conv` and
+        # converted checkpoints drop in unchanged
+        w, b = _ConvS2DParams(
+            k=k, cin=cin, cout=self.features, use_bias=self.use_bias,
+            kinit=kinit, binit=binit, name="conv",
+        )()
+
+        ws = jnp.zeros((3, 3, cin * r2, self.features * r2), w.dtype)
+        for dy in range(k):
+            for dx in range(k):
+                for ao in range(r):
+                    for bo in range(r):
+                        sy, sx = ao + dy - pad, bo + dx - pad
+                        di, ai = sy // r, sy % r
+                        dj, bi = sx // r, sx % r
+                        ws = ws.at[
+                            di + 1, dj + 1, ai * r + bi :: r2, ao * r + bo :: r2
+                        ].set(w[dy, dx])
+
+        if x.dtype == jnp.bfloat16:
+            prec = None
+            ws = ws.astype(jnp.bfloat16)
+        else:
+            prec = jax.lax.Precision.HIGHEST
+        out = jax.lax.conv_general_dilated(
+            x, ws, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=prec,
+        )
+        if b is not None:
+            out = out + jnp.tile(b[:, None], (1, r2)).reshape(-1)
+        return out

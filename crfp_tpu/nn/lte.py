@@ -14,7 +14,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 
-from crfp_tpu.nn.layers import Conv, lrelu
+from crfp_tpu.nn.layers import Conv, ConvS2D, lrelu
 from crfp_tpu.ops.shuffle import pixel_unshuffle
 
 
@@ -30,11 +30,13 @@ class LTESimpleLR(nn.Module):
 
 class LTESimpleHRSingle(nn.Module):
     mid_channels: int
+    s2d: bool = False  # evaluate in space-to-depth(4) layout (ConvS2D)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = lrelu(Conv(self.mid_channels, name="slice1_conv1")(x))
-        x = lrelu(Conv(self.mid_channels, name="slice1_conv2")(x))
+        conv = ConvS2D if self.s2d else Conv
+        x = lrelu(conv(self.mid_channels, name="slice1_conv1")(x))
+        x = lrelu(conv(self.mid_channels, name="slice1_conv2")(x))
         return x
 
 

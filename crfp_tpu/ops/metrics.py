@@ -72,7 +72,13 @@ def masked_ssim(
     ``use_pallas=False`` to force the XLA path (e.g. under jax.grad).
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and min(sr.shape[1:3]) >= 16
+        # the kernel's row DMAs slice full image rows: Mosaic requires the
+        # lane extent (width) to be a multiple of the 128 tile
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and min(sr.shape[1:3]) >= 16
+            and sr.shape[2] % 128 == 0
+        )
     if use_pallas:
         from crfp_tpu.ops.pallas.ssim import masked_ssim_pallas
 

@@ -69,6 +69,7 @@ def _dcn_kernel(
     kh: int = 3,
     kw: int = 3,
     shared: bool = False,
+    has_mask: bool = True,
 ):
     i = pl.program_id(0)
     total = pl.num_programs(0)
@@ -142,7 +143,7 @@ def _dcn_kernel(
 
     def stage2(acc, v, cw, mk, k):
         """Fused column-reduce + conv-weight contraction on the MXU."""
-        u = (v * cw * mk).astype(cdtype)
+        u = (v * cw * mk if mk is not None else v * cw).astype(cdtype)
         return acc + jax.lax.dot_general(
             u,
             w_ref[0, k],
@@ -166,12 +167,14 @@ def _dcn_kernel(
             v = stage1(ly_c + float(ty - (kh - 1) // 2))
             for tx in range(kw):
                 k = ty * kw + tx
-                acc = stage2(acc, v, cws[tx], qd[:, 2 + k : 3 + k], k)
+                mk = qd[:, 2 + k : 3 + k] if has_mask else None
+                acc = stage2(acc, v, cws[tx], mk, k)
     else:
         for k in range(k2):
             v = stage1(qd[:, k : k + 1])
             cw = colweights(qd[:, k2 + k : k2 + k + 1])
-            acc = stage2(acc, v, cw, qd[:, 2 * k2 + k : 2 * k2 + k + 1], k)
+            mk = qd[:, 2 * k2 + k : 2 * k2 + k + 1] if has_mask else None
+            acc = stage2(acc, v, cw, mk, k)
 
     g = i % n_groups
 
@@ -230,7 +233,7 @@ def deform_conv2d_pallas(
     g = offset.shape[3]
     k_off = 1 if shared_taps else k2
     assert offset.shape == (n, h, w, g, k_off, 2), (offset.shape, shared_taps)
-    assert mask.shape == (n, h, w, g, k2), mask.shape
+    assert mask is None or mask.shape == (n, h, w, g, k2), mask.shape
     assert c % g == 0, (c, g)
     cpg = c // g
     pad_y, pad_x = (kh - 1) // 2, (kw - 1) // 2
@@ -250,6 +253,24 @@ def deform_conv2d_pallas(
     lane_q = 128 // math.gcd(cpg, 128)
     xtile = round_up(xtile, lane_q)
     halo = round_up(halo, max(sub_tile // 2, lane_q // 2))
+
+    # scoped-VMEM guard: the per-cell intermediates (v/cw f32 + u in the
+    # compute dtype + padded qd/out blocks + the window scratch) must stay
+    # under Mosaic's 16M stack limit; shrink the band until they do.
+    # (Observed: f32 P=2048 x wcwin=512 OOMs at 16.71M; bf16 fits.)
+    item = 2 if x.dtype == jnp.bfloat16 else 4
+    while band > sub_tile:
+        p_est = band * xtile
+        wcwin_est = (xtile + 2 * halo) * cpg
+        hwin_est = band + 2 * halo
+        est = (
+            p_est * wcwin_est * (8 + item)
+            + p_est * 128 * 8
+            + 2 * hwin_est * wcwin_est * item
+        )
+        if est <= 14_000_000:
+            break
+        band -= sub_tile
 
     n_bands = -(-h // band)
     n_tiles = -(-w // xtile)
@@ -290,18 +311,28 @@ def deform_conv2d_pallas(
         a = a.reshape(n, n_bands, band, n_tiles, xtile, g, kk)
         return a.transpose(0, 5, 1, 3, 2, 4, 6).reshape(n * g, n_cells, p_tile, kk)
 
-    # local window coordinates: ly = sy - (cell_row0 - halo), in unpadded
-    # frame coords shifted per cell
-    ly = cellwise(sy) - (
-        jnp.repeat(jnp.arange(n_bands, dtype=jnp.float32) * band - halo, n_tiles)
-    ).reshape(1, n_cells, 1, 1)
-    lx = cellwise(sx) - (
-        jnp.tile(jnp.arange(n_tiles, dtype=jnp.float32) * xtile - halo, n_bands)
-    ).reshape(1, n_cells, 1, 1)
-    mkq = cellwise(mask.astype(jnp.float32))
-    # lanes: [ly_0..ly_{K-1} | lx_0.. | mask_0..] (K=1 when shared_taps)
-    qd = jnp.concatenate([ly, lx, mkq], axis=-1)  # (NG, cells, P, 2*K + k2)
-    qd_lanes = 2 * k_off + k2
+    # local window coordinates (ly = sy - (cell_row0 - halo)) computed in
+    # the DENSE image layout: per-row/col base vectors broadcast over the
+    # frame, so the whole elementwise chain (clip + tap + base) fuses into
+    # the cellwise transpose instead of running on tile-padded
+    # (..., P, few-lane) intermediates
+    row_base = (band * (jnp.arange(h, dtype=jnp.float32) // band) - halo).reshape(
+        1, h, 1, 1, 1
+    )
+    col_base = (xtile * (jnp.arange(w, dtype=jnp.float32) // xtile) - halo).reshape(
+        1, 1, w, 1, 1
+    )
+    ly = cellwise(sy - row_base)
+    lx = cellwise(sx - col_base)
+    if mask is None:
+        # unit modulation (the plain warp): skip the mask field entirely
+        qd = jnp.concatenate([ly, lx], axis=-1)
+        qd_lanes = 2 * k_off
+    else:
+        mkq = cellwise(mask.astype(jnp.float32))
+        # lanes: [ly_0..ly_{K-1} | lx_0.. | mask_0..] (K=1 when shared_taps)
+        qd = jnp.concatenate([ly, lx, mkq], axis=-1)  # (NG, cells, P, 2*K + k2)
+        qd_lanes = 2 * k_off + k2
 
     # weights expanded onto the flat lane axis: W[g, k, w*cpg + ch, o]
     w2 = weight.reshape(k2, g, cpg, o).transpose(1, 0, 2, 3)  # (g, k2, cpg, o)
@@ -322,6 +353,7 @@ def deform_conv2d_pallas(
         kh=kh,
         kw=kw,
         shared=shared_taps,
+        has_mask=mask is not None,
     )
     total = n * n_cells * g
     out = pl.pallas_call(
@@ -365,6 +397,44 @@ def deform_conv2d_pallas(
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _vjp_wrapped_nomask(
+    max_displacement: int, band: int, xtile: int, shared_taps: bool, interpret: bool
+):
+    """custom_vjp closure for the unit-mask (plain warp) case."""
+
+    @jax.custom_vjp
+    def op(x, offset, weight, bias):
+        return deform_conv2d_pallas(
+            x, offset, None, weight, bias,
+            max_displacement=max_displacement, band=band, xtile=xtile,
+            shared_taps=shared_taps, interpret=interpret,
+        )
+
+    def fwd(x, offset, weight, bias):
+        return op(x, offset, weight, bias), (x, offset, weight, bias)
+
+    def bwd(res, g_out):
+        from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
+
+        x, offset, weight, bias = res
+        k2 = weight.shape[0] * weight.shape[1]
+
+        def f(x, offset, weight, bias):
+            if shared_taps:
+                offset = jnp.broadcast_to(offset, offset.shape[:4] + (k2, 2))
+            ones = jnp.ones(offset.shape[:4] + (k2,), jnp.float32)
+            return deform_conv2d_windowed(
+                x, offset, ones, weight, bias, max_displacement=max_displacement
+            )
+
+        _, pullback = jax.vjp(f, x, offset, weight, bias)
+        return pullback(g_out.astype(jnp.float32) if g_out.dtype != x.dtype else g_out)
+
+    op.defvjp(fwd, bwd)
+    return op
 
 
 @functools.lru_cache(maxsize=None)
@@ -424,8 +494,15 @@ def deform_conv2d_pallas_vjp(
     shared_taps: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
-    """Differentiable windowed DCN: Pallas forward, XLA-windowed backward."""
-    op = _vjp_wrapped(max_displacement, band, xtile, shared_taps, interpret)
+    """Differentiable windowed DCN: Pallas forward, XLA-windowed backward.
+
+    ``mask=None`` means unit modulation (the plain warp): the mask field
+    is dropped from the kernel's query data and its gradient is skipped.
+    """
     if bias is None:
         bias = jnp.zeros((weight.shape[-1],), x.dtype)
+    if mask is None:
+        op = _vjp_wrapped_nomask(max_displacement, band, xtile, shared_taps, interpret)
+        return op(x, offset, weight, bias)
+    op = _vjp_wrapped(max_displacement, band, xtile, shared_taps, interpret)
     return op(x, offset, mask, weight, bias)

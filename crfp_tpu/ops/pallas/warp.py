@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas
+from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_vjp
 from crfp_tpu.ops.warp import flow_warp as flow_warp_xla  # noqa: F401 (re-export)
 
 
@@ -38,12 +38,13 @@ def flow_warp_windowed_pallas(
     to ``±max_displacement``."""
     n, h, w, c = x.shape
     off = jnp.stack([flow[..., 1], flow[..., 0]], axis=-1).reshape(n, h, w, 1, 1, 2)
-    mask = jnp.ones((n, h, w, 1, 1), jnp.float32)
     eye = jnp.eye(c, dtype=x.dtype).reshape(1, 1, c, c)
     # one tap -> per-cell compute is tiny; tall bands amortize the per-cell
-    # costs (sweep on the v5e: band 64 8.8 ms vs band 16 13.9 ms at 720p)
-    return deform_conv2d_pallas(
-        x, off, mask, eye, None,
+    # costs (sweep on the v5e: band 64 8.8 ms vs band 16 13.9 ms at 720p).
+    # The VJP wrapper keeps this differentiable (backward via the XLA
+    # windowed formulation) for the training path.
+    return deform_conv2d_pallas_vjp(
+        x, off, None, eye, None,
         max_displacement=max_displacement, band=64, xtile=32,
         interpret=interpret,
     )

@@ -33,3 +33,50 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host bring-up (SURVEY.md §5.8): ``jax.distributed.initialize``.
+
+    On TPU pods the arguments are auto-discovered from the environment
+    (TPU metadata / ``JAX_COORDINATOR_ADDRESS``); pass them explicitly for
+    CPU/GPU clusters. Returns True when a multi-process runtime was
+    initialized, False when running single-process (the call is then a
+    no-op, so driver code can call this unconditionally). After a
+    successful init, ``global_mesh()`` spans every host's devices and the
+    existing ``shard_batch``/``replicate`` helpers work unchanged — XLA
+    routes the gradient all-reduce over ICI within a slice and DCN across
+    slices.
+    """
+    import os
+
+    explicit = coordinator_address is not None
+    # NOTE: deliberately not keyed on TPU_WORKER_HOSTNAMES — the single-chip
+    # axon tunnel sets it to 'localhost'
+    auto = any(
+        os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
+    if not (explicit or auto):
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        # already initialized (idempotent bring-up from several entry points)
+        pass
+    return jax.process_count() > 1
+
+
+def global_mesh(axis: str = "data") -> Mesh:
+    """1-D mesh over every device of every process (use after
+    ``initialize_distributed`` on multi-host; identical to
+    ``data_parallel_mesh`` single-host)."""
+    return Mesh(np.asarray(jax.devices()), (axis,))

@@ -92,3 +92,37 @@ def test_gradients_flow_end_to_end():
     flat = jax.tree_util.tree_flatten_with_path(grads)[0]
     dcn_grads = [np.abs(np.asarray(v)).sum() for k, v in flat if "dcn_0" in str(k)]
     assert sum(dcn_grads) > 0
+
+
+def test_hr_s2d_bit_equivalence_v18():
+    # the space-to-depth HR tail (ModelConfig.hr_s2d) must be bit-exact
+    # under the SAME parameters, batch and streaming
+    import jax
+    import jax.numpy as jnp
+
+    from crfp_tpu.models import CRFP, ModelConfig, StreamingRunner
+
+    rng = np.random.default_rng(0)
+    b, t, h, w, s = 1, 3, 8, 12, 8
+    lrs = jnp.asarray(rng.uniform(0, 1, (b, t, h, w, 3)), jnp.float32)
+    fvs = jnp.asarray(rng.uniform(0, 1, (b, t, h * s, w * s, 3)), jnp.float32)
+    mks = np.zeros((b, t, h * s, w * s, 1), np.float32)
+    mks[:, :, 16:48, 16:48] = 1.0
+    mks = jnp.asarray(mks)
+
+    m0 = CRFP(ModelConfig(variant="v18", mid_channels=16))
+    params = m0.init(jax.random.PRNGKey(0), lrs, fvs, mks)
+    want = np.asarray(m0.apply(params, lrs, fvs, mks))
+
+    m1 = CRFP(ModelConfig(variant="v18", mid_channels=16, hr_s2d=True))
+    p1_shape = jax.tree.map(lambda a: a.shape,
+                            jax.eval_shape(lambda k: m1.init(k, lrs, fvs, mks),
+                                           jax.random.PRNGKey(0)))
+    assert p1_shape == jax.tree.map(lambda a: a.shape, params)
+    got = np.asarray(m1.apply(params, lrs, fvs, mks))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    # streaming with the s2d state pytree
+    runner = StreamingRunner(m1, params)
+    outs = [np.asarray(runner(lrs[:, i], fvs[:, i], mks[:, i])) for i in range(t)]
+    np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-5, rtol=1e-4)

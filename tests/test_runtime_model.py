@@ -73,3 +73,44 @@ def test_runtime_windowed_dcn_matches_exact_for_small_flows():
         params = model.init(jax.random.PRNGKey(0), method=run)
         outs.append(np.asarray(model.apply(params, method=run)))
     np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
+
+
+def test_runtime_simple_v13_v15_step_shapes_and_state():
+    # the v13/v15 latency counterparts (MRCF_simple_v13/v15,
+    # /root/reference/model/CRFP_runtime.py:7446, 8053): HR-only state,
+    # per-level DCN over the ORIGINAL upsampled ROI, stitched resblocks
+    import pytest
+
+    from crfp_tpu.models.runtime import CRFPRuntimeSimple
+
+    h, w, s = 16, 24, 8
+    wp = (64, 64)
+    rng = np.random.default_rng(2)
+    lr = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    lr2 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    fv = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+
+    for variant, expect_state_ch in (("v13", 2), ("v15", 2)):
+        cfg = ModelConfig(variant=variant, mid_channels=16)
+        model = CRFPRuntimeSimple(cfg, warp_size=wp)
+
+        def run(mdl):
+            x_lr, x_hr = mdl.encode(lr, fv)
+            state, out0 = mdl.step0(lr, x_lr, x_hr)
+            state, out1 = mdl.step(state, lr2, lr, x_lr, x_hr)
+            return state, (out0, out1)
+
+        params = model.init(jax.random.PRNGKey(0), method=run)
+        state, (out0, out1) = model.apply(params, method=run)
+        assert out0.shape == (1, h * s, w * s, 3)
+        assert out1.shape == (1, h * s, w * s, 3)
+        assert state["hr"].shape == (1, wp[0], wp[1], cfg.last_channels)
+        assert "lv" not in state  # no DSV channel-split state in v13/v15
+        assert np.isfinite(np.asarray(out1)).all()
+        # the recurrent state must actually influence the next frame
+        state2, out1b = model.apply(
+            params, {"hr": jnp.zeros_like(state["hr"])}, lr2, lr,
+            *model.apply(params, lr2, fv, method=CRFPRuntimeSimple.encode),
+            method=CRFPRuntimeSimple.step,
+        )
+        assert float(jnp.abs(out1b - out1).max()) > 1e-6

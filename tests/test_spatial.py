@@ -28,7 +28,7 @@ def test_sharded_conv_matches_unsharded():
 
 def test_halo_exchange_boundaries():
     mesh = data_parallel_mesh(8)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     x = jnp.arange(16, dtype=jnp.float32).reshape(1, 16, 1, 1)
@@ -49,3 +49,17 @@ def test_halo_exchange_boundaries():
     assert out[7, 3] == 0.0
     for i in range(0, 7):
         assert out[i, 3] == x[0, (i + 1) * 2, 0, 0]
+
+
+def test_initialize_distributed_single_process_noop():
+    # without coordinator env the bring-up must be a no-op returning False
+    import os
+
+    from crfp_tpu.parallel import global_mesh, initialize_distributed
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"):
+        assert not os.environ.get(k), f"test assumes {k} unset"
+    assert initialize_distributed() is False
+    mesh = global_mesh()
+    assert mesh.devices.size == jax.device_count()
+    assert mesh.axis_names == ("data",)
