@@ -49,8 +49,13 @@ class BenchResult:
 
 
 def _timed(fn, *args) -> tuple[Any, float]:
+    from crfp_tpu.bench.profile import force_sync
+
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(*args))
+    out = fn(*args)
+    # block_until_ready does NOT synchronize on the axon remote backend
+    # (docs/PERF.md) — force_sync's scalar fetch is the true barrier
+    force_sync(out)
     return out, time.perf_counter() - t0
 
 
@@ -63,8 +68,12 @@ def run_runtime_bench(
     warm_up: int = 10,
     fv_hw: tuple[int, int] = (96, 96),
     seed: int = 0,
+    dcn_window: int | None = None,
+    dcn_window_hr: int | None = None,
+    bf16: bool = False,
 ) -> BenchResult:
-    cfg = ModelConfig(variant="v18", mid_channels=mid_channels)
+    cfg = ModelConfig(variant="v18", mid_channels=mid_channels,
+                      dcn_window=dcn_window, dcn_window_hr=dcn_window_hr)
     model = CRFPRuntimeV18(cfg, warp_size=warp_size)
     lr_h, lr_w = PRESETS[preset]["lr"]
     rng = np.random.default_rng(seed)
@@ -81,6 +90,12 @@ def run_runtime_bench(
         return model.init(key, method=run)
 
     params = jax.jit(init)(jax.random.PRNGKey(0))
+    if bf16:
+        from crfp_tpu.utils.precision import cast_pytree
+
+        params = cast_pytree(params, jnp.bfloat16)
+        lr = lr.astype(jnp.bfloat16)
+        fv = fv.astype(jnp.bfloat16)
 
     flow_fn = jax.jit(
         lambda p, a, b: model.apply(p, a, b, method=CRFPRuntimeV18.compute_flow)
@@ -112,7 +127,9 @@ def run_runtime_bench(
         for _ in range(t - 1):
             (state, out), dt = _timed(step_fn, params, state, lr, lr, x_lr, x_hr)
             t_steps += dt
-        jax.block_until_ready(out)
+        from crfp_tpu.bench.profile import force_sync
+
+        force_sync(out)
         if timed:
             total += time.perf_counter() - rep_t0
             stage_times["flow"] += t_flow

@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dcn_window_hr", type=int, default=None,
                    help="same for the HR-level dcn_3 (8x-res flow: budget "
                         "~4x dcn_window, e.g. 32); None = exact")
+    p.add_argument("--hr_s2d", type=str2bool, default=False,
+                   help="run the full-resolution tail in space-to-depth(4) "
+                        "layout (bit-exact, ~10%% faster on TPU; v18 only)")
 
     ### loss settings
     p.add_argument("--rec_w", type=float, default=1.0)
@@ -142,6 +145,7 @@ def model_config(args) -> ModelConfig:
         remat=args.remat,
         dcn_window=args.dcn_window,
         dcn_window_hr=args.dcn_window_hr,
+        hr_s2d=args.hr_s2d,
     )
 
 

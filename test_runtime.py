@@ -19,6 +19,9 @@ def main():
     p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--t", type=int, default=5)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--dcn_window", type=int, default=None)
+    p.add_argument("--dcn_window_hr", type=int, default=None)
+    p.add_argument("--bf16", action="store_true")
     args = p.parse_args()
 
     if args.cpu:
@@ -35,6 +38,9 @@ def main():
         t=args.t,
         repeat_time=args.reps,
         warm_up=args.warmup,
+        dcn_window=args.dcn_window,
+        dcn_window_hr=args.dcn_window_hr,
+        bf16=args.bf16,
     )
     print(res)
 
