@@ -29,6 +29,7 @@ from crfp_tpu.nn.align import DCNAlign
 from crfp_tpu.nn.flow import FNet
 from crfp_tpu.nn.layers import (
     Conv,
+    ConvS2D,
     PixelShufflePack,
     PixelUnShufflePackV2,
     ResidualBlockNoBN,
@@ -37,6 +38,7 @@ from crfp_tpu.nn.layers import (
 )
 from crfp_tpu.nn.lte import LTESimpleHRSingle, LTESimpleLR
 from crfp_tpu.ops.resize import upsample
+from crfp_tpu.ops.shuffle import pixel_shuffle, pixel_unshuffle
 from crfp_tpu.ops.warp import flow_warp
 
 State = dict[str, Any]
@@ -44,16 +46,21 @@ State = dict[str, Any]
 
 class ResidualBlocksWithInputConvV2(nn.Module):
     """Two input convs; the ROI result of conv1 is patched into the
-    full-frame result of conv2 before the residual blocks."""
+    full-frame result of conv2 before the residual blocks.
+
+    ``s2d``: evaluate in space-to-depth(4) layout (ConvS2D; the stitch
+    coordinates are block-aligned because warp_size is a multiple of 4)."""
 
     out_channels: int
     num_blocks: int = 1
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, feat_roi: jax.Array, feat_full: jax.Array | None = None) -> jax.Array:
-        o1 = Conv(self.out_channels, name="conv1")(feat_roi)
+        conv_cls = ConvS2D if self.s2d else Conv
+        o1 = conv_cls(self.out_channels, name="conv1")(feat_roi)
         if feat_full is not None and feat_full.shape[1:3] != feat_roi.shape[1:3]:
-            full = Conv(self.out_channels, name="conv2")(feat_full)
+            full = conv_cls(self.out_channels, name="conv2")(feat_full)
             x = jax.lax.dynamic_update_slice(full, o1, (0, 0, 0, 0))
         else:
             # same-size "stitch" fully overwrites conv2's output, so conv2
@@ -61,7 +68,7 @@ class ResidualBlocksWithInputConvV2(nn.Module):
             x = o1
         x = lrelu(x)
         for i in range(self.num_blocks):
-            x = ResidualBlockNoBN(self.out_channels, name=f"block{i}")(x)
+            x = ResidualBlockNoBN(self.out_channels, s2d=self.s2d, name=f"block{i}")(x)
         return x
 
 
@@ -87,26 +94,33 @@ class CRFPRuntimeV18(nn.Module):
                               interpolate="pixelshuffle", window=cfg.dcn_window_hr)
         self.encoder_lr = LTESimpleLR(m)
         self.encoder_hr = LTESimpleHRSingle(last)
-        self.conv_tttf = Conv(last, name="conv_tttf")
+        s2 = cfg.hr_s2d
+        if s2:
+            self.conv_tttf = ConvS2D(last, name="conv_tttf")
+            self.conv_last = ConvS2D(1 if cfg.y_only else 3, name="conv_last")
+        else:
+            self.conv_tttf = Conv(last, name="conv_tttf")
+            self.conv_last = Conv(1 if cfg.y_only else 3, name="conv_last")
         # cold-start resblocks (plain) and steady-state stitching resblocks
         self.forward_resblocks_0_ = ResidualBlocksWithInputConv(m, 1)
         self.forward_resblocks_1_ = ResidualBlocksWithInputConv(m, 1)
         self.forward_resblocks_2_ = ResidualBlocksWithInputConv(m, 1)
-        self.forward_resblocks_3_ = ResidualBlocksWithInputConv(last, 1)
+        self.forward_resblocks_3_ = ResidualBlocksWithInputConv(last, 1, s2d=s2)
         self.forward_resblocks_0 = ResidualBlocksWithInputConvV2(m, 1)
         self.forward_resblocks_1 = ResidualBlocksWithInputConvV2(m, 1)
         self.forward_resblocks_2 = ResidualBlocksWithInputConvV2(m, 1)
-        self.forward_resblocks_3 = ResidualBlocksWithInputConvV2(last, 1)
+        self.forward_resblocks_3 = ResidualBlocksWithInputConvV2(last, 1, s2d=s2)
         self.downsample = PixelUnShufflePackV2(m, 4, 3)
         self.upsample = PixelShufflePack(cfg.keep_channels, 2, 3)
         self.upsample_post = PixelShufflePack(last, 4, 3)
-        self.conv_last = Conv(1 if cfg.y_only else 3, name="conv_last")
 
     def encode(self, lr: jax.Array, fv: jax.Array):
         x_lr = self.encoder_lr(lr)
         if self.nofv:
             return x_lr, None
         x_hr = self.encoder_hr(jnp.concatenate([fv, fv], axis=-1))
+        if self.cfg.hr_s2d:
+            x_hr = pixel_unshuffle(x_hr, 4)
         return x_lr, x_hr
 
     def compute_flow(self, lr_cur: jax.Array, lr_prev: jax.Array) -> jax.Array:
@@ -131,11 +145,11 @@ class CRFPRuntimeV18(nn.Module):
                 jnp.concatenate(chunks[sr:], axis=-1)[:, : wph // 4, : wpw // 4]
             )
             x = jnp.concatenate(chunks[:sr], axis=-1)
-        x = lrelu(self.upsample_post(x))
+        x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
         lv3 = self.forward_resblocks_3_(x)
         lv3, out = self._finish(lv3, x_hr, lr)
-        state = {"hr": lv3[:, :wph, :wpw], "lv": tuple(lvs)}
-        return state, out
+        hr = lv3[:, : wph // 4, : wpw // 4] if cfg.hr_s2d else lv3[:, :wph, :wpw]
+        return {"hr": hr, "lv": tuple(lvs)}, out
 
     def step(self, state: State, lr, pre_lr, x_lr, x_hr):
         cfg = self.cfg
@@ -147,12 +161,23 @@ class CRFPRuntimeV18(nn.Module):
         flow_lv3 = upsample(flow, 2) * 2.0
         flow_lv0 = upsample(flow, cfg.scale) * float(cfg.scale)
 
-        hr_state = state["hr"]  # last @ ROI
+        hr_state = state["hr"]  # last @ ROI (s2d layout when cfg.hr_s2d)
         from crfp_tpu.ops.pallas.warp import flow_warp_maybe_windowed
 
-        hr_warped = flow_warp_maybe_windowed(hr_state, flow_lv0, cfg.dcn_window_hr)
-        lv3_warped = self.downsample(hr_warped)
-        lv3_state = self.downsample(hr_state)
+        if cfg.hr_s2d:
+            hr_state_full = pixel_shuffle(hr_state, 4)
+            hr_warped_full = flow_warp_maybe_windowed(
+                hr_state_full, flow_lv0, cfg.dcn_window_hr)
+            hr_warped = pixel_unshuffle(hr_warped_full, 4)
+            lv3_warped = self.downsample(hr_warped, pre_shuffled=True)
+            lv3_state = self.downsample(hr_state, pre_shuffled=True)
+        else:
+            hr_state_full = hr_state
+            hr_warped_full = flow_warp_maybe_windowed(
+                hr_state, flow_lv0, cfg.dcn_window_hr)
+            hr_warped = hr_warped_full
+            lv3_warped = self.downsample(hr_warped)
+            lv3_state = self.downsample(hr_state)
         f0, f1, f2 = state["lv"]
         mixed = flow_warp(jnp.concatenate([f0, f1, f2], axis=-1), flow_lv3)
         f0, f1, f2 = jnp.split(mixed, 3, axis=-1)
@@ -173,25 +198,38 @@ class CRFPRuntimeV18(nn.Module):
             chunks = jnp.split(full, 4, axis=-1)
             lvs.append(jnp.concatenate(chunks[sr:], axis=-1))
 
-        full_lv3 = lrelu(self.upsample_post(feat_prop_lv0))  # last @ 8h x 8w
-        aligned, _ = self.dcn_3(full_lv3[:, :wph, :wpw], hr_state, hr_warped,
-                                flow_lv0, offset if cfg.offset_prop else None)
+        full_lv3 = lrelu(self.upsample_post(feat_prop_lv0, keep_depth=cfg.hr_s2d))
+        if cfg.hr_s2d:
+            roi = full_lv3[:, : wph // 4, : wpw // 4]
+            aligned_full, _ = self.dcn_3(
+                pixel_shuffle(roi, 4), hr_state_full, hr_warped_full,
+                flow_lv0, offset if cfg.offset_prop else None)
+            aligned = pixel_unshuffle(aligned_full, 4)
+        else:
+            roi = full_lv3[:, :wph, :wpw]
+            aligned, _ = self.dcn_3(roi, hr_state_full, hr_warped_full,
+                                    flow_lv0, offset if cfg.offset_prop else None)
         lv3 = self.forward_resblocks_3(
-            jnp.concatenate([full_lv3[:, :wph, :wpw], aligned], axis=-1), full_lv3
+            jnp.concatenate([roi, aligned], axis=-1), full_lv3
         )
         lv3, out = self._finish(lv3, x_hr, lr)
-        return {"hr": lv3[:, :wph, :wpw], "lv": tuple(lvs)}, out
+        hr = lv3[:, : wph // 4, : wpw // 4] if cfg.hr_s2d else lv3[:, :wph, :wpw]
+        return {"hr": hr, "lv": tuple(lvs)}, out
 
     def _finish(self, lv3, x_hr, lr):
-        """Patch the fovea blend into the top-left corner, reconstruct."""
+        """Patch the fovea blend into the top-left corner, reconstruct.
+        In hr_s2d mode every tensor here is in s2d(4) layout (the fovea
+        corner is block-aligned: fovea sizes are multiples of 4)."""
         if x_hr is not None:
             fh, fw = x_hr.shape[1:3]
             corner = lv3[:, :fh, :fw]
             blended = self.conv_tttf(jnp.concatenate([corner, x_hr], axis=-1))
             lv3 = jax.lax.dynamic_update_slice(lv3, blended, (0, 0, 0, 0))
         lv3 = lrelu(lv3)
-        out = self.conv_last(lv3) + upsample(lr, self.cfg.scale)
-        return lv3, out
+        out = self.conv_last(lv3)
+        if self.cfg.hr_s2d:
+            out = pixel_shuffle(out, 4)
+        return lv3, out + upsample(lr, self.cfg.scale)
 
 
 class CRFPRuntimeSimple(nn.Module):
@@ -287,12 +325,23 @@ class CRFPRuntimeSimple(nn.Module):
         flow_lv3 = upsample(flow, 2) * 2.0
         flow_lv0 = upsample(flow, cfg.scale) * float(cfg.scale)
 
-        hr_state = state["hr"]  # last @ ROI
+        hr_state = state["hr"]  # last @ ROI (s2d layout when cfg.hr_s2d)
         from crfp_tpu.ops.pallas.warp import flow_warp_maybe_windowed
 
-        hr_warped = flow_warp_maybe_windowed(hr_state, flow_lv0, cfg.dcn_window_hr)
-        lv3_warped = self.downsample(hr_warped)
-        lv3_state = self.downsample(hr_state)
+        if cfg.hr_s2d:
+            hr_state_full = pixel_shuffle(hr_state, 4)
+            hr_warped_full = flow_warp_maybe_windowed(
+                hr_state_full, flow_lv0, cfg.dcn_window_hr)
+            hr_warped = pixel_unshuffle(hr_warped_full, 4)
+            lv3_warped = self.downsample(hr_warped, pre_shuffled=True)
+            lv3_state = self.downsample(hr_state, pre_shuffled=True)
+        else:
+            hr_state_full = hr_state
+            hr_warped_full = flow_warp_maybe_windowed(
+                hr_state, flow_lv0, cfg.dcn_window_hr)
+            hr_warped = hr_warped_full
+            lv3_warped = self.downsample(hr_warped)
+            lv3_state = self.downsample(hr_state)
 
         roi_lv0 = feat_prop_lv0[:, : wph // 4, : wpw // 4]
         offset = None

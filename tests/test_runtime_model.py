@@ -114,3 +114,33 @@ def test_runtime_simple_v13_v15_step_shapes_and_state():
             method=CRFPRuntimeSimple.step,
         )
         assert float(jnp.abs(out1b - out1).max()) > 1e-6
+
+
+def test_runtime_hr_s2d_equivalence():
+    # hr_s2d runtime must match the plain runtime bit-for-bit with the
+    # SAME parameters (fovea 32 = 8 s2d blocks; warp 64 = 16 blocks)
+    from crfp_tpu.models.runtime import CRFPRuntimeV18
+
+    h, w = 16, 24
+    wp = (64, 64)
+    rng = np.random.default_rng(3)
+    lr = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    lr2 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    fv = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+
+    def run(mdl):
+        x_lr, x_hr = mdl.encode(lr, fv)
+        state, out0 = mdl.step0(lr, x_lr, x_hr)
+        state, out1 = mdl.step(state, lr2, lr, x_lr, x_hr)
+        return out0, out1
+
+    m0 = CRFPRuntimeV18(ModelConfig(variant="v18", mid_channels=16), warp_size=wp)
+    params = m0.init(jax.random.PRNGKey(0), method=run)
+    want0, want1 = m0.apply(params, method=run)
+
+    m1 = CRFPRuntimeV18(
+        ModelConfig(variant="v18", mid_channels=16, hr_s2d=True), warp_size=wp
+    )
+    got0, got1 = m1.apply(params, method=run)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(want0), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=2e-5, rtol=1e-4)
