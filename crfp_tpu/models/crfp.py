@@ -147,6 +147,7 @@ class CRFP(nn.Module):
                 self.dcn_3 = DCNAlign(
                     last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
                     interpolate="pixelshuffle", window=cfg.dcn_window_hr,
+                    s2d=cfg.hr_s2d,
                 )
             else:
                 self.dcn_3 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
@@ -431,11 +432,12 @@ class CRFP(nn.Module):
 
             x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
             if cfg.hr_s2d:
-                if hr_warped_full is None:
-                    hr_warped_full = pixel_shuffle(hr_warped, 4)
+                # feature/offset heads run in s2d inside DCNAlign; only
+                # pre_x (the sampled state) goes in full-res
                 aligned_full, _ = self.dcn_3(
-                    pixel_shuffle(x, 4), hr_state_full, hr_warped_full,
-                    flow_lv0, offset if cfg.offset_prop else None)
+                    x, hr_state_full, hr_warped,
+                    pixel_unshuffle(flow_lv0, 4),
+                    offset if cfg.offset_prop else None)
                 aligned = pixel_unshuffle(aligned_full, 4)
             else:
                 aligned, _ = self.dcn_3(x, hr_state, hr_warped, flow_lv0,

@@ -91,7 +91,8 @@ class CRFPRuntimeV18(nn.Module):
         self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
                               window=cfg.dcn_window)
         self.dcn_3 = DCNAlign(last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
-                              interpolate="pixelshuffle", window=cfg.dcn_window_hr)
+                              interpolate="pixelshuffle", window=cfg.dcn_window_hr,
+                              s2d=cfg.hr_s2d)
         self.encoder_lr = LTESimpleLR(m)
         self.encoder_hr = LTESimpleHRSingle(last)
         s2 = cfg.hr_s2d
@@ -202,8 +203,9 @@ class CRFPRuntimeV18(nn.Module):
         if cfg.hr_s2d:
             roi = full_lv3[:, : wph // 4, : wpw // 4]
             aligned_full, _ = self.dcn_3(
-                pixel_shuffle(roi, 4), hr_state_full, hr_warped_full,
-                flow_lv0, offset if cfg.offset_prop else None)
+                roi, hr_state_full, hr_warped,
+                pixel_unshuffle(flow_lv0, 4),
+                offset if cfg.offset_prop else None)
             aligned = pixel_unshuffle(aligned_full, 4)
         else:
             roi = full_lv3[:, :wph, :wpw]

@@ -21,7 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from crfp_tpu.nn.layers import Conv, PixelShufflePack, lrelu
+from crfp_tpu.nn.layers import Conv, ConvS2D, PixelShufflePack, lrelu
+from crfp_tpu.ops.shuffle import pixel_shuffle
 from crfp_tpu.ops.dcn import deform_conv2d, deform_conv2d_shared_offset
 from crfp_tpu.ops.resize import upsample as bilinear_upsample
 
@@ -79,6 +80,11 @@ class DCNAlign(nn.Module):
     # when set, use the gather-free windowed DCN (displacements clamped to
     # +-window; docs/PERF.md) instead of the exact gather formulation
     window: int | None = None
+    # repeat mode only: compute the feature block + offset/mask heads in
+    # space-to-depth(4) layout (ConvS2D; bit-exact, same parameters).
+    # Inputs cur_x / pre_x_aligned / flow then arrive in s2d(4) layout
+    # (flow s2d of (dx, dy)); pre_x stays full-res for the sampling kernel.
+    s2d: bool = False
 
     @nn.compact
     def __call__(
@@ -99,36 +105,55 @@ class DCNAlign(nn.Module):
         k2 = k * k
         if self.repeat:
             assert g == 1, "repeat mode is only well-defined for one deform group"
+        if self.s2d:
+            assert self.repeat, "s2d DCNAlign is implemented for repeat mode"
+        conv_cls = ConvS2D if self.s2d else Conv
 
         feat = jnp.concatenate([cur_x, pre_x_aligned, flow], axis=-1)
-        feat = lrelu(Conv(m, name="dcn_block_conv1")(feat))
-        feat = lrelu(Conv(m, name="dcn_block_conv2")(feat))
+        feat = lrelu(conv_cls(m, name="dcn_block_conv1")(feat))
+        feat = lrelu(conv_cls(m, name="dcn_block_conv2")(feat))
 
         if pre_offset_feat is not None:
             assert self.pre_offset
             if self.interpolate == "pixelshuffle":
-                pre_offset_feat = PixelShufflePack(m, 4, 3, name="upsample")(pre_offset_feat) * 2.0
+                # in s2d mode the PixelShufflePack's conv output IS the
+                # s2d(4) layout of the upsampled feature (keep_depth)
+                pre_offset_feat = PixelShufflePack(m, 4, 3, name="upsample")(
+                    pre_offset_feat, keep_depth=self.s2d) * 2.0
             elif self.interpolate == "bilinear":
                 pre_offset_feat = bilinear_upsample(pre_offset_feat, 4) * 2.0
             feat = lrelu(
-                Conv(m, name="conv_fuse")(jnp.concatenate([feat, pre_offset_feat], axis=-1))
+                conv_cls(m, name="conv_fuse")(jnp.concatenate([feat, pre_offset_feat], axis=-1))
             )
 
         zero = nn.initializers.zeros
-        n, h, w, _ = feat.shape
         if self.repeat:
-            raw = Conv(g * 2, kernel_init=zero, bias_init=zero, name="dcn_offset")(feat)
+            raw = conv_cls(g * 2, kernel_init=zero, bias_init=zero, name="dcn_offset")(feat)
             raw = self.max_residue_magnitude * jnp.tanh(raw)
-            # torch packs repeat offsets as [y*g..., x*g...]; g == 1 here
-            off = raw.reshape(n, h, w, 2, g).transpose(0, 1, 2, 4, 3)  # (n,h,w,g,2)
-            off = off.at[..., 0].add(flow[..., 1][..., None])
-            off = off.at[..., 1].add(flow[..., 0][..., None])
+            if self.s2d:
+                # raw s2d channels: [y x 16 phases | x x 16]; flow s2d:
+                # [dx x 16 | dy x 16] — add in s2d, shuffle up once
+                off_y = raw[..., :16] + flow[..., 16:32]
+                off_x = raw[..., 16:] + flow[..., :16]
+                off_hr = pixel_shuffle(jnp.concatenate([off_y, off_x], axis=-1), 4)
+                n, h, w, _ = off_hr.shape
+                off = off_hr.reshape(n, h, w, 1, 2)
+            else:
+                n, h, w, _ = feat.shape
+                # torch packs repeat offsets as [y*g..., x*g...]; g == 1 here
+                off = raw.reshape(n, h, w, 2, g).transpose(0, 1, 2, 4, 3)  # (n,h,w,g,2)
+                off = off.at[..., 0].add(flow[..., 1][..., None])
+                off = off.at[..., 1].add(flow[..., 0][..., None])
             if self.offset_only:
+                assert not self.s2d
                 mask = Conv(g * k2, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
                 mask = jax.nn.sigmoid(mask).reshape(n, h, w, g, k2)
             else:
-                mask = Conv(g, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
-                mask = jax.nn.sigmoid(mask)[:, :, :, :, None]
+                mask = conv_cls(g, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
+                mask = jax.nn.sigmoid(mask)
+                if self.s2d:
+                    mask = pixel_shuffle(mask, 4)
+                mask = mask[:, :, :, :, None]
                 mask = jnp.broadcast_to(mask, (n, h, w, g, k2))
             weight = self.param("dcn_weight", _identity_kernel_init, (k, k, m, m))
             bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
@@ -147,6 +172,7 @@ class DCNAlign(nn.Module):
                 )
             return aligned, feat
         else:
+            n, h, w, _ = feat.shape
             raw = Conv(g * 2 * k2, kernel_init=zero, bias_init=zero, name="dcn_offset")(feat)
             raw = self.max_residue_magnitude * jnp.tanh(raw)
             off = raw.reshape(n, h, w, g, k2, 2)
