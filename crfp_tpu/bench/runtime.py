@@ -71,9 +71,15 @@ def run_runtime_bench(
     dcn_window: int | None = None,
     dcn_window_hr: int | None = None,
     bf16: bool = False,
+    hr_s2d: bool = False,
+    fused: bool = False,
 ) -> BenchResult:
+    """``fused``: time one jitted flow+encode+step program per frame with a
+    single sync per rep chain (the deployment number — the per-stage mode
+    pays the ~28 ms axon dispatch floor at every stage boundary)."""
     cfg = ModelConfig(variant="v18", mid_channels=mid_channels,
-                      dcn_window=dcn_window, dcn_window_hr=dcn_window_hr)
+                      dcn_window=dcn_window, dcn_window_hr=dcn_window_hr,
+                      hr_s2d=hr_s2d)
     model = CRFPRuntimeV18(cfg, warp_size=warp_size)
     lr_h, lr_w = PRESETS[preset]["lr"]
     rng = np.random.default_rng(seed)
@@ -109,11 +115,52 @@ def run_runtime_bench(
         donate_argnums=(1,),
     )
 
+    dev = jax.devices()[0]
+    if fused:
+        from crfp_tpu.bench.profile import force_sync
+
+        def frame(p, state, a, pa, f):
+            x_lr, x_hr = model.apply(p, a, f, method=CRFPRuntimeV18.encode)
+            return model.apply(p, state, a, pa, x_lr, x_hr,
+                               method=CRFPRuntimeV18.step)
+
+        frame_fn = jax.jit(frame, donate_argnums=(1,))
+
+        def frame0(p, a, f):
+            x_lr, x_hr = model.apply(p, a, f, method=CRFPRuntimeV18.encode)
+            return model.apply(p, a, x_lr, x_hr, method=CRFPRuntimeV18.step0)
+
+        frame0_fn = jax.jit(frame0)
+
+        def chain(n_reps):
+            out = None
+            for _ in range(n_reps):
+                state, out = frame0_fn(params, lr, fv)
+                for _ in range(t - 1):
+                    (state, out) = frame_fn(params, state, lr, lr, fv)
+            return out
+
+        force_sync(chain(max(1, warm_up)))
+        timed_reps = max(1, repeat_time - warm_up)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force_sync(chain(timed_reps))
+            best = min(best, time.perf_counter() - t0)
+        spf = best / (timed_reps * t)
+        try:
+            peak = dev.memory_stats().get("peak_bytes_in_use")
+        except Exception:
+            peak = None
+        return BenchResult(
+            preset=preset, warp_size=warp_size, sec_per_frame=spf,
+            frames_per_sec=1.0 / spf, stage_seconds={}, peak_bytes=peak,
+        )
+
     stage_times = {"flow": 0.0, "enc": 0.0, "step": 0.0}
     n_timed = 0
     total = 0.0
 
-    dev = jax.devices()[0]
     out = None
     for rep in range(repeat_time):
         timed = rep >= warm_up

@@ -88,9 +88,9 @@ class ModelConfig:
     dcn_window_hr: int | None = None
     # run the full-resolution tail (encoder_hr, resblocks_3, conv_tttf,
     # conv_last, fovea blends, HR state) in space-to-depth(4) layout:
-    # bit-exact (ConvS2D), same parameters, but C=48-64 instead of 1-6 so
-    # TPU HBM tile padding stops inflating every HR pass ~32x
-    # (docs/PERF.md). v18 only for now.
+    # numerically exact (ConvS2D), same parameters, but C=48-64 instead of
+    # 1-6 so TPU HBM tile padding stops inflating every HR pass ~32x
+    # (docs/PERF.md). Supported for the v13/v15/v18 trunks (hr_dcn=True).
     hr_s2d: bool = False
 
     @property
@@ -121,7 +121,9 @@ class CRFP(nn.Module):
         if cfg.is_dsv:
             assert cfg.hr_dcn, "the DSV trunk always runs the HR-level DCN"
         if cfg.hr_s2d:
-            assert cfg.variant == "v18", "hr_s2d is implemented for v18"
+            assert cfg.variant in ("v13", "v15", "v18"), (
+                "hr_s2d is implemented for the v13/v15/v18 trunks")
+            assert cfg.hr_dcn, "hr_s2d requires the HR-level cascade (hr_dcn)"
         if cfg.variant in ("no_dcn", "basic_fvsr"):
             # the reference's hr_dcn=True branches of these models reference
             # undefined locals (CRFP.py:1895-1938, 2245-2247) — only the
@@ -330,7 +332,7 @@ class CRFP(nn.Module):
         for rb in (self.forward_resblocks_0, self.forward_resblocks_1, self.forward_resblocks_2):
             x = rb(jnp.concatenate([x] + [z_lv3] * (reps - 1), axis=-1))
         if cfg.hr_dcn:
-            x = lrelu(self.upsample_post(x))
+            x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
             y = self.forward_resblocks_3(jnp.concatenate([x] + [z_hr] * (reps - 1), axis=-1))
         else:
             y = self.forward_resblocks_3(jnp.concatenate([x] + [z_lv3] * (reps - 1), axis=-1))
@@ -478,9 +480,18 @@ class CRFP(nn.Module):
 
         # ---- v13 / v15 ----
         if cfg.hr_dcn:
-            hr_warped = self._warp_hr(hr_state, flow_lv0)
-            lv3_warped = self.downsample(hr_warped)
-            lv3_state = self.downsample(hr_state)
+            if cfg.hr_s2d:
+                # state lives in s2d(4), exactly as in the DSV branch above
+                hr_state_full = pixel_shuffle(hr_state, 4)
+                hr_warped = pixel_unshuffle(
+                    self._warp_hr(hr_state_full, flow_lv0), 4)
+                lv3_warped = self.downsample(hr_warped, pre_shuffled=True)
+                lv3_state = self.downsample(hr_state, pre_shuffled=True)
+            else:
+                hr_state_full = hr_state
+                hr_warped = self._warp_hr(hr_state, flow_lv0)
+                lv3_warped = self.downsample(hr_warped)
+                lv3_state = self.downsample(hr_state)
         else:
             lv3_state = self.downsample(hr_state)
             lv3_warped = flow_warp(lv3_state, flow_lv3)
@@ -503,13 +514,23 @@ class CRFP(nn.Module):
             x = rb(x)
 
         if cfg.hr_dcn:
-            x = lrelu(self.upsample_post(x))
-            aligned, _ = self.dcn_3(x, hr_state, hr_warped, flow_lv0,
-                                    offset if cfg.offset_prop else None)
+            x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
+            if cfg.hr_s2d:
+                aligned, _ = self.dcn_3(
+                    x, hr_state_full, hr_warped, pixel_unshuffle(flow_lv0, 4),
+                    offset if cfg.offset_prop else None)
+                aligned = pixel_unshuffle(aligned, 4)
+            else:
+                aligned, _ = self.dcn_3(x, hr_state, hr_warped, flow_lv0,
+                                        offset if cfg.offset_prop else None)
             parts = [x, aligned] + ([hr_warped] if three_way else [])
             y = jnp.concatenate(parts, axis=-1)
             if fg_lv3 is not None:
-                y = y * fg_lv3
+                if cfg.hr_s2d:
+                    fg_s = pixel_unshuffle(fg_lv3, 4)
+                    y = y * jnp.tile(fg_s, (1, 1, 1, y.shape[-1] // 16))
+                else:
+                    y = y * fg_lv3
             y = self.forward_resblocks_3(y)
         else:
             aligned, _ = self.dcn_3(x, lv3_state, lv3_warped, flow_lv3,

@@ -268,26 +268,34 @@ class CRFPRuntimeSimple(nn.Module):
         self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
                               window=cfg.dcn_window)
         self.dcn_3 = DCNAlign(last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
-                              interpolate="pixelshuffle", window=cfg.dcn_window_hr)
+                              interpolate="pixelshuffle", window=cfg.dcn_window_hr,
+                              s2d=cfg.hr_s2d)
         self.encoder_lr = LTESimpleLR(m)
         self.encoder_hr = LTESimpleHRSingle(last)
-        self.conv_tttf = Conv(last, name="conv_tttf")
+        s2 = cfg.hr_s2d
+        if s2:
+            self.conv_tttf = ConvS2D(last, name="conv_tttf")
+            self.conv_last = ConvS2D(1 if cfg.y_only else 3, name="conv_last")
+        else:
+            self.conv_tttf = Conv(last, name="conv_tttf")
+            self.conv_last = Conv(1 if cfg.y_only else 3, name="conv_last")
         self.forward_resblocks_0_ = ResidualBlocksWithInputConv(m, 1)
         self.forward_resblocks_1_ = ResidualBlocksWithInputConv(m, 1)
         self.forward_resblocks_2_ = ResidualBlocksWithInputConv(m, 1)
-        self.forward_resblocks_3_ = ResidualBlocksWithInputConv(last, 1)
+        self.forward_resblocks_3_ = ResidualBlocksWithInputConv(last, 1, s2d=s2)
         self.forward_resblocks_0 = ResidualBlocksWithInputConvV2(m, 1)
         self.forward_resblocks_1 = ResidualBlocksWithInputConvV2(m, 1)
         self.forward_resblocks_2 = ResidualBlocksWithInputConvV2(m, 1)
-        self.forward_resblocks_3 = ResidualBlocksWithInputConvV2(last, 1)
+        self.forward_resblocks_3 = ResidualBlocksWithInputConvV2(last, 1, s2d=s2)
         self.downsample = PixelUnShufflePackV2(m, 4, 3)
         self.upsample = PixelShufflePack(m, 2, 3)
         self.upsample_post = PixelShufflePack(last, 4, 3)
-        self.conv_last = Conv(1 if cfg.y_only else 3, name="conv_last")
 
     def encode(self, lr: jax.Array, fv: jax.Array):
         x_lr = self.encoder_lr(lr)
         x_hr = self.encoder_hr(jnp.concatenate([fv, fv], axis=-1))
+        if self.cfg.hr_s2d:
+            x_hr = pixel_unshuffle(x_hr, 4)
         return x_lr, x_hr
 
     def compute_flow(self, lr_cur: jax.Array, lr_prev: jax.Array) -> jax.Array:
@@ -297,25 +305,32 @@ class CRFPRuntimeSimple(nn.Module):
         )
 
     def _finish(self, lv3, x_hr, lr):
+        """In hr_s2d mode every tensor here is in s2d(4) layout (fovea
+        sizes are multiples of 4, so the corner stays block-aligned)."""
         if x_hr is not None:
             fh, fw = x_hr.shape[1:3]
             corner = lv3[:, :fh, :fw]
             blended = self.conv_tttf(jnp.concatenate([corner, x_hr], axis=-1))
             lv3 = jax.lax.dynamic_update_slice(lv3, blended, (0, 0, 0, 0))
         lv3 = lrelu(lv3)
-        out = self.conv_last(lv3) + upsample(lr, self.cfg.scale)
-        return lv3, out
+        out = self.conv_last(lv3)
+        if self.cfg.hr_s2d:
+            out = pixel_shuffle(out, 4)
+        return lv3, out + upsample(lr, self.cfg.scale)
+
+    def _roi(self, lv3):
+        wph, wpw = self.warp_size
+        return lv3[:, : wph // 4, : wpw // 4] if self.cfg.hr_s2d else lv3[:, :wph, :wpw]
 
     def step0(self, lr, x_lr, x_hr):
-        wph, wpw = self.warp_size
         x = self.upsample(x_lr)
         x = self.forward_resblocks_0_(x)
         x = self.forward_resblocks_1_(x)
         x = self.forward_resblocks_2_(x)
-        x = lrelu(self.upsample_post(x))
+        x = lrelu(self.upsample_post(x, keep_depth=self.cfg.hr_s2d))
         lv3 = self.forward_resblocks_3_(x)
         lv3, out = self._finish(lv3, x_hr, lr)
-        return {"hr": lv3[:, :wph, :wpw]}, out
+        return {"hr": self._roi(lv3)}, out
 
     def step(self, state: State, lr, pre_lr, x_lr, x_hr):
         cfg = self.cfg
@@ -359,11 +374,17 @@ class CRFPRuntimeSimple(nn.Module):
             parts = [roi_lv0, aligned] + ([lv3_warped] if three_way else [])
             x = rb(jnp.concatenate(parts, axis=-1), feat_prop_lv0)
 
-        full_lv3 = lrelu(self.upsample_post(x))  # last @ 8h x 8w
-        roi_lv3 = full_lv3[:, :wph, :wpw]
-        aligned, _ = self.dcn_3(roi_lv3, hr_state, hr_warped, flow_lv0,
-                                offset if cfg.offset_prop else None)
+        full_lv3 = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
+        roi_lv3 = self._roi(full_lv3)
+        if cfg.hr_s2d:
+            aligned, _ = self.dcn_3(roi_lv3, hr_state_full, hr_warped,
+                                    pixel_unshuffle(flow_lv0, 4),
+                                    offset if cfg.offset_prop else None)
+            aligned = pixel_unshuffle(aligned, 4)
+        else:
+            aligned, _ = self.dcn_3(roi_lv3, hr_state_full, hr_warped, flow_lv0,
+                                    offset if cfg.offset_prop else None)
         parts3 = [roi_lv3, aligned] + ([hr_warped] if three_way else [])
         lv3 = self.forward_resblocks_3(jnp.concatenate(parts3, axis=-1), full_lv3)
         lv3, out = self._finish(lv3, x_hr, lr)
-        return {"hr": lv3[:, :wph, :wpw]}, out
+        return {"hr": self._roi(lv3)}, out

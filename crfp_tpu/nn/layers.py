@@ -15,6 +15,7 @@ Mirrors the reference blocks so converted torch checkpoints drop in:
 
 from __future__ import annotations
 
+import functools
 import math
 from collections.abc import Callable
 
@@ -183,6 +184,28 @@ class PixelUnShufflePackV2(nn.Module):
         )(x)
 
 
+@functools.lru_cache(maxsize=None)
+def _s2d_route(k: int, r: int, pad: int):
+    """Constant 0/1 routing tensor for :class:`ConvS2D`'s kernel rearrange.
+
+    Shape (k, k, 3, 3, r*r, r*r): HR tap (dy, dx) feeding output phase
+    q = ao*r+bo reads the s2d block at offset (di, dj) ∈ {-1,0,1} (stored
+    +1) and input phase p = ai*r+bi, where (r*?+ai, r*?+bi) is the HR
+    source pixel of the tap."""
+    import numpy as np
+
+    m = np.zeros((k, k, 3, 3, r * r, r * r), np.float32)
+    for dy in range(k):
+        for dx in range(k):
+            for ao in range(r):
+                for bo in range(r):
+                    sy, sx = ao + dy - pad, bo + dx - pad
+                    di, ai = sy // r, sy % r
+                    dj, bi = sx // r, sx % r
+                    m[dy, dx, di + 1, dj + 1, ai * r + bi, ao * r + bo] = 1.0
+    return m
+
+
 class _ConvS2DParams(nn.Module):
     k: int
     cin: int
@@ -199,7 +222,8 @@ class _ConvS2DParams(nn.Module):
 
 
 class ConvS2D(nn.Module):
-    """A 'same' conv evaluated in space-to-depth(r) layout — bit-exact.
+    """A 'same' conv evaluated in space-to-depth(r) layout — numerically
+    exact (same math; summation reassociation only, tests use atol ~2e-5).
 
     Holds the SAME parameter (kh, kw, cin, cout) as :class:`Conv` (so
     checkpoints and the torch converter are untouched) but consumes and
@@ -245,17 +269,13 @@ class ConvS2D(nn.Module):
             kinit=kinit, binit=binit, name="conv",
         )()
 
-        ws = jnp.zeros((3, 3, cin * r2, self.features * r2), w.dtype)
-        for dy in range(k):
-            for dx in range(k):
-                for ao in range(r):
-                    for bo in range(r):
-                        sy, sx = ao + dy - pad, bo + dx - pad
-                        di, ai = sy // r, sy % r
-                        dj, bi = sx // r, sx % r
-                        ws = ws.at[
-                            di + 1, dj + 1, ai * r + bi :: r2, ao * r + bo :: r2
-                        ].set(w[dy, dx])
+        # s2d kernel via one einsum against a constant 0/1 routing tensor
+        # (scatter-free: the old 144-step .at[].set chain serialized in the
+        # autodiff graph). M[dy,dx,D,A,p,q] = 1 iff HR tap (dy,dx) at output
+        # phase q=(ao,bo) lands in s2d block offset (D-1,A-1) input phase p.
+        route = _s2d_route(k, r, pad)
+        ws = jnp.einsum("ijco,ijdapq->dacpoq", w, route.astype(w.dtype))
+        ws = ws.reshape(3, 3, cin * r2, self.features * r2)
 
         if x.dtype == jnp.bfloat16:
             prec = None

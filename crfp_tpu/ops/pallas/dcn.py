@@ -33,9 +33,17 @@ Per grid step (one output row-band x column-tile x deformable group):
    conv-weight contraction fuse into one matmul per tap.
 
 Steps 2-4 run once per kernel tap (a static k^2 loop), so the peak VMEM
-footprint is one (pixels, window-lanes) intermediate. Per-pixel query
-data arrives packed on lanes ([ly_k | lx_k | mask_k]); output blocks are
-revisited across the deformable-group grid axis and accumulated in VMEM.
+footprint is one (window-lanes, pixels) intermediate.
+
+Layout (round 3): every per-query array is TRANSPOSED — queries live on
+the LANE axis (the per-cell query count is a multiple of 128) and the
+small field/channel index on sublanes. Per-pixel query data arrives as
+(fields, P) blocks ([ly_k | lx_k | mask_k] on sublanes); the output tile
+is (out_ch, P), revisited across the deformable-group grid axis and
+accumulated in VMEM. The previous (P, fields) layout put 2-27 fields on
+the minor dim, which HBM tiling pads to 128 lanes — up to ~64x physical
+traffic on the qd/out block copies and on every XLA-side prep pass
+(docs/PERF.md "Known bound" (a), now closed).
 """
 
 from __future__ import annotations
@@ -49,10 +57,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dcn_kernel(
-    qd_ref,      # (1, 1, P, 3*k2) f32: lanes [ly_k | lx_k | mask_k] per pixel
-    w_ref,       # (1, k2, wcwin, o) expanded weights for this group
+    qd_ref,      # (1, 1, L, P) f32: sublanes [ly_k | lx_k | mask_k], queries on lanes
+    w_ref,       # (1, k2, o, wcwin) expanded transposed weights for this group
     xg_hbm,      # (NG, Hp, Wcp) padded source planes, HBM
-    out_ref,     # (1, 1, P, o) f32 output tile (revisited across g)
+    out_ref,     # (1, 1, o, P) f32 output tile (revisited across g)
     win_s,       # (2, hwin, wcwin) VMEM scratch, double-buffered
     sems,        # (2,) DMA semaphores
     *,
@@ -71,6 +79,12 @@ def _dcn_kernel(
     shared: bool = False,
     has_mask: bool = True,
 ):
+    """Transposed-query layout: every per-query array keeps the P query
+    index on LANES (p_tile is a multiple of 128) and the small field/
+    channel index on sublanes, so the qd/out block copies and every VPU
+    intermediate are dense — the original (P, fields) layout tile-padded
+    the few-lane minor dim to 128 and multiplied HBM traffic up to ~64x
+    (docs/PERF.md "Known bound")."""
     i = pl.program_id(0)
     total = pl.num_programs(0)
     p_tile = band * xtile
@@ -102,9 +116,9 @@ def _dcn_kernel(
     window_dma(i, i % 2).wait()
     win = win_s[i % 2]  # (hwin, wcwin)
 
-    qd = qd_ref[0, 0]  # (P, 3*k2)
-    riota = jax.lax.broadcasted_iota(jnp.int32, (p_tile, hwin), 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (p_tile, wcwin), 1) // cpg
+    qd = qd_ref[0, 0]  # (L, P)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (hwin, p_tile), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (wcwin, p_tile), 0) // cpg
 
     # f32 operands need multi-pass MXU precision: the default single bf16
     # pass injects ~1e-2 error, which breaks the "exact within the window"
@@ -117,7 +131,9 @@ def _dcn_kernel(
     # so the f32-build + cast pattern is the supported one.
 
     def stage1(ly):
-        """Row interpolation: 2-sparse matrix -> MXU. (P, wcwin) f32."""
+        """Row interpolation: 2-sparse matrix -> MXU. ly (1, P) ->
+        v (wcwin, P) f32 via the lhs-transposed contraction
+        win^T(wcwin, hwin) @ Rt(hwin, P)."""
         y0 = jnp.floor(ly)
         fy = ly - y0
         y0i = y0.astype(jnp.int32)
@@ -125,15 +141,16 @@ def _dcn_kernel(
             riota == y0i + 1, fy, 0.0
         )
         return jax.lax.dot_general(
-            r_mat.astype(cdtype),
             win,
-            (((1,), (0,)), ((), ())),
+            r_mat.astype(cdtype),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )
 
     def colweights(lx):
-        """Column weights on the flat lane index (col = lane // cpg)."""
+        """Column weights on the flat sublane index (col = sublane // cpg).
+        lx (1, P) -> (wcwin, P)."""
         x0 = jnp.floor(lx)
         fx = lx - x0
         x0i = x0.astype(jnp.int32)
@@ -142,38 +159,39 @@ def _dcn_kernel(
         )
 
     def stage2(acc, v, cw, mk, k):
-        """Fused column-reduce + conv-weight contraction on the MXU."""
+        """Fused column-reduce + conv-weight contraction on the MXU:
+        acc(o, P) += W_k(o, wcwin) @ u(wcwin, P)."""
         u = (v * cw * mk if mk is not None else v * cw).astype(cdtype)
         return acc + jax.lax.dot_general(
-            u,
             w_ref[0, k],
+            u,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )
 
-    # per-tap: keeps peak VMEM at one (P, wcwin) intermediate instead of
-    # a (k2*P, wcwin) block (which OOMs scoped vmem at the model shapes)
-    acc = jnp.zeros((p_tile, o), jnp.float32)
+    # per-tap: keeps peak VMEM at one (wcwin, P) intermediate instead of
+    # a (k2*wcwin, P) block (which OOMs scoped vmem at the model shapes)
+    acc = jnp.zeros((o, p_tile), jnp.float32)
     if shared:
         # repeat mode: every tap shares one (dy, dx) per pixel, so tap
         # (ty, tx) samples at center + (ty, tx) — one row interpolation
         # per kernel ROW and one column-weight build per kernel COLUMN
-        # instead of per tap. qd lanes: [ly, lx, mask_0..mask_{k2-1}].
-        ly_c = qd[:, 0:1]
-        lx_c = qd[:, 1:2]
+        # instead of per tap. qd sublanes: [ly, lx, mask_0..mask_{k2-1}].
+        ly_c = qd[0:1]
+        lx_c = qd[1:2]
         cws = [colweights(lx_c + float(tx - (kw - 1) // 2)) for tx in range(kw)]
         for ty in range(kh):
             v = stage1(ly_c + float(ty - (kh - 1) // 2))
             for tx in range(kw):
                 k = ty * kw + tx
-                mk = qd[:, 2 + k : 3 + k] if has_mask else None
+                mk = qd[2 + k : 3 + k] if has_mask else None
                 acc = stage2(acc, v, cws[tx], mk, k)
     else:
         for k in range(k2):
-            v = stage1(qd[:, k : k + 1])
-            cw = colweights(qd[:, k2 + k : k2 + k + 1])
-            mk = qd[:, 2 * k2 + k : 2 * k2 + k + 1] if has_mask else None
+            v = stage1(qd[k : k + 1])
+            cw = colweights(qd[k2 + k : k2 + k + 1])
+            mk = qd[2 * k2 + k : 2 * k2 + k + 1] if has_mask else None
             acc = stage2(acc, v, cw, mk, k)
 
     g = i % n_groups
@@ -259,14 +277,16 @@ def deform_conv2d_pallas(
     # under Mosaic's 16M stack limit; shrink the band until they do.
     # (Observed: f32 P=2048 x wcwin=512 OOMs at 16.71M; bf16 fits.)
     item = 2 if x.dtype == jnp.bfloat16 else 4
+    k_fields = 1 if shared_taps else k2
+    l_est = round_up(2 * k_fields + (k2 if mask is not None else 0), sub_tile)
     while band > sub_tile:
         p_est = band * xtile
         wcwin_est = (xtile + 2 * halo) * cpg
         hwin_est = band + 2 * halo
         est = (
-            p_est * wcwin_est * (8 + item)
-            + p_est * 128 * 8
-            + 2 * hwin_est * wcwin_est * item
+            p_est * wcwin_est * (8 + item)       # v f32 + u cdtype
+            + p_est * (l_est + o + 8) * 4        # qd + out blocks (dense)
+            + 2 * hwin_est * wcwin_est * item    # double-buffered window
         )
         if est <= 14_000_000:
             break
@@ -305,11 +325,13 @@ def deform_conv2d_pallas(
         sx = gx + tx + off[..., 1]
 
     def cellwise(a):
-        """(n, h, w, g, K) -> (n*g, n_cells, P, K), P row-major."""
+        """(n, h, w, g, K) -> (n*g, n_cells, K, P): queries on the LANE
+        axis (P row-major within the cell), fields on sublanes — dense in
+        HBM for any field count (P is a multiple of 128)."""
         kk = a.shape[-1]
         a = jnp.pad(a, ((0, 0), (0, h_pad), (0, w_pad), (0, 0), (0, 0)))
         a = a.reshape(n, n_bands, band, n_tiles, xtile, g, kk)
-        return a.transpose(0, 5, 1, 3, 2, 4, 6).reshape(n * g, n_cells, p_tile, kk)
+        return a.transpose(0, 5, 1, 3, 6, 2, 4).reshape(n * g, n_cells, kk, p_tile)
 
     # local window coordinates (ly = sy - (cell_row0 - halo)) computed in
     # the DENSE image layout: per-row/col base vectors broadcast over the
@@ -326,17 +348,18 @@ def deform_conv2d_pallas(
     lx = cellwise(sx - col_base)
     if mask is None:
         # unit modulation (the plain warp): skip the mask field entirely
-        qd = jnp.concatenate([ly, lx], axis=-1)
+        qd = jnp.concatenate([ly, lx], axis=2)
         qd_lanes = 2 * k_off
     else:
         mkq = cellwise(mask.astype(jnp.float32))
-        # lanes: [ly_0..ly_{K-1} | lx_0.. | mask_0..] (K=1 when shared_taps)
-        qd = jnp.concatenate([ly, lx, mkq], axis=-1)  # (NG, cells, P, 2*K + k2)
+        # sublanes: [ly_0..ly_{K-1} | lx_0.. | mask_0..] (K=1 when shared_taps)
+        qd = jnp.concatenate([ly, lx, mkq], axis=2)  # (NG, cells, 2*K + k2, P)
         qd_lanes = 2 * k_off + k2
 
-    # weights expanded onto the flat lane axis: W[g, k, w*cpg + ch, o]
-    w2 = weight.reshape(k2, g, cpg, o).transpose(1, 0, 2, 3)  # (g, k2, cpg, o)
-    wexp = jnp.tile(w2, (1, 1, wwin, 1)).astype(x.dtype)  # (g, k2, wcwin, o)
+    # weights expanded transposed onto the flat sublane axis:
+    # W[g, k, o, x*cpg + ch] = weight[k, ch, o] for every window column x
+    w2 = weight.reshape(k2, g, cpg, o).transpose(1, 0, 3, 2)  # (g, k2, o, cpg)
+    wexp = jnp.tile(w2, (1, 1, 1, wwin)).astype(x.dtype)  # (g, k2, o, wcwin)
 
     kernel = functools.partial(
         _dcn_kernel,
@@ -361,7 +384,7 @@ def deform_conv2d_pallas(
         grid=(total,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, p_tile, qd_lanes),
+                (1, 1, qd_lanes, p_tile),
                 lambda i: (
                     (i // (g * n_cells)) * g + i % g,
                     (i // g) % n_cells,
@@ -371,18 +394,18 @@ def deform_conv2d_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, k2, wcwin, o),
+                (1, k2, o, wcwin),
                 lambda i: (i % g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, p_tile, o),
+            (1, 1, o, p_tile),
             lambda i: (i // (g * n_cells), (i // g) % n_cells, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, n_cells, p_tile, o), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, n_cells, o, p_tile), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, hwin, wcwin), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -390,8 +413,8 @@ def deform_conv2d_pallas(
         interpret=interpret,
     )(qd, wexp, xg)
 
-    out = out.reshape(n, n_bands, n_tiles, band, xtile, o)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+    out = out.reshape(n, n_bands, n_tiles, o, band, xtile)
+    out = out.transpose(0, 1, 4, 2, 5, 3).reshape(
         n, n_bands * band, n_tiles * xtile, o
     )[:, :h, :w]
     if bias is not None:

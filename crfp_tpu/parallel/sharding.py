@@ -63,15 +63,20 @@ def initialize_distributed(
     )
     if not (explicit or auto):
         return False
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError:
-        # already initialized (idempotent bring-up from several entry points)
-        pass
+    state = getattr(jax._src.distributed, "global_state", None)
+    already_up = state is not None and state.client is not None
+    if not already_up:
+        # a genuine bring-up failure (bad coordinator address, port clash)
+        # must propagate — only an actual double-initialize is benign
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as e:
+            if "already initialized" not in str(e).lower():
+                raise
     return jax.process_count() > 1
 
 

@@ -22,6 +22,10 @@ def main():
     p.add_argument("--dcn_window", type=int, default=None)
     p.add_argument("--dcn_window_hr", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--hr_s2d", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="one jitted flow+enc+step program per frame, one sync "
+                        "per rep chain (deployment number)")
     args = p.parse_args()
 
     if args.cpu:
@@ -41,6 +45,8 @@ def main():
         dcn_window=args.dcn_window,
         dcn_window_hr=args.dcn_window_hr,
         bf16=args.bf16,
+        hr_s2d=args.hr_s2d,
+        fused=args.fused,
     )
     print(res)
 
