@@ -255,6 +255,15 @@ class CRFP(nn.Module):
 
         return flow_warp_maybe_windowed(hr_state, flow_lv0, self.cfg.dcn_window_hr)
 
+    def _warp_hr_s2d(self, hr_state_s2d: jax.Array, flow_s2d: jax.Array) -> jax.Array:
+        """HR-state warp with state AND flow in s2d(4) layout (the hr_s2d
+        tail): same sampling semantics, but the windowed kernel folds the
+        s2d relayouts into its prep/post transposes."""
+        from crfp_tpu.ops.pallas.warp import flow_warp_maybe_windowed_s2d
+
+        return flow_warp_maybe_windowed_s2d(
+            hr_state_s2d, flow_s2d, self.cfg.dcn_window_hr)
+
     def _reconstruct(self, y: jax.Array, x_hr: jax.Array, mk: jax.Array, lr: jax.Array):
         """Fovea texture blend + conv_last + bilinear-8x base residual."""
         mkf = mk.astype(y.dtype)
@@ -394,16 +403,15 @@ class CRFP(nn.Module):
             else:
                 x_hr_lv3 = x_hr
             if cfg.hr_s2d:
-                # state lives in s2d(4); the downsample's space-to-depth is
-                # the identity on it, and the warp kernel's prep transposes
-                # absorb the depth<->space relayouts
+                # the HR state, flow, warp and dcn_3 all stay in s2d(4):
+                # the kernels sample at full resolution but fold every
+                # relayout into their prep/post transposes, so no
+                # pixel_shuffle round trips are materialized
+                flow_s2d = pixel_unshuffle(flow_lv0, 4)
                 lv3_state = self.downsample(hr_state, pre_shuffled=True)
-                hr_state_full = pixel_shuffle(hr_state, 4)
-                hr_warped_full = self._warp_hr(hr_state_full, flow_lv0)
-                hr_warped = pixel_unshuffle(hr_warped_full, 4)
+                hr_warped = self._warp_hr_s2d(hr_state, flow_s2d)
             else:
                 lv3_state = self.downsample(hr_state)
-                hr_state_full, hr_warped_full = hr_state, None
                 hr_warped = self._warp_hr(hr_state, flow_lv0)
             lv3_warped = flow_warp(lv3_state, flow_lv3)
             f0, f1, f2 = state["lv"]
@@ -434,13 +442,9 @@ class CRFP(nn.Module):
 
             x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
             if cfg.hr_s2d:
-                # feature/offset heads run in s2d inside DCNAlign; only
-                # pre_x (the sampled state) goes in full-res
-                aligned_full, _ = self.dcn_3(
-                    x, hr_state_full, hr_warped,
-                    pixel_unshuffle(flow_lv0, 4),
-                    offset if cfg.offset_prop else None)
-                aligned = pixel_unshuffle(aligned_full, 4)
+                # every dcn_3 operand (incl. the sampled state) is s2d
+                aligned, _ = self.dcn_3(x, hr_state, hr_warped, flow_s2d,
+                                        offset if cfg.offset_prop else None)
             else:
                 aligned, _ = self.dcn_3(x, hr_state, hr_warped, flow_lv0,
                                         offset if cfg.offset_prop else None)
@@ -482,13 +486,11 @@ class CRFP(nn.Module):
         if cfg.hr_dcn:
             if cfg.hr_s2d:
                 # state lives in s2d(4), exactly as in the DSV branch above
-                hr_state_full = pixel_shuffle(hr_state, 4)
-                hr_warped = pixel_unshuffle(
-                    self._warp_hr(hr_state_full, flow_lv0), 4)
+                flow_s2d = pixel_unshuffle(flow_lv0, 4)
+                hr_warped = self._warp_hr_s2d(hr_state, flow_s2d)
                 lv3_warped = self.downsample(hr_warped, pre_shuffled=True)
                 lv3_state = self.downsample(hr_state, pre_shuffled=True)
             else:
-                hr_state_full = hr_state
                 hr_warped = self._warp_hr(hr_state, flow_lv0)
                 lv3_warped = self.downsample(hr_warped)
                 lv3_state = self.downsample(hr_state)
@@ -516,10 +518,8 @@ class CRFP(nn.Module):
         if cfg.hr_dcn:
             x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
             if cfg.hr_s2d:
-                aligned, _ = self.dcn_3(
-                    x, hr_state_full, hr_warped, pixel_unshuffle(flow_lv0, 4),
-                    offset if cfg.offset_prop else None)
-                aligned = pixel_unshuffle(aligned, 4)
+                aligned, _ = self.dcn_3(x, hr_state, hr_warped, flow_s2d,
+                                        offset if cfg.offset_prop else None)
             else:
                 aligned, _ = self.dcn_3(x, hr_state, hr_warped, flow_lv0,
                                         offset if cfg.offset_prop else None)

@@ -163,20 +163,22 @@ class CRFPRuntimeV18(nn.Module):
         flow_lv0 = upsample(flow, cfg.scale) * float(cfg.scale)
 
         hr_state = state["hr"]  # last @ ROI (s2d layout when cfg.hr_s2d)
-        from crfp_tpu.ops.pallas.warp import flow_warp_maybe_windowed
+        from crfp_tpu.ops.pallas.warp import (
+            flow_warp_maybe_windowed,
+            flow_warp_maybe_windowed_s2d,
+        )
 
         if cfg.hr_s2d:
-            hr_state_full = pixel_shuffle(hr_state, 4)
-            hr_warped_full = flow_warp_maybe_windowed(
-                hr_state_full, flow_lv0, cfg.dcn_window_hr)
-            hr_warped = pixel_unshuffle(hr_warped_full, 4)
+            # state/flow/warp/dcn_3 all stay in s2d(4); the kernels fold
+            # the relayouts into their prep/post transposes
+            flow_s2d = pixel_unshuffle(flow_lv0, 4)
+            hr_warped = flow_warp_maybe_windowed_s2d(
+                hr_state, flow_s2d, cfg.dcn_window_hr)
             lv3_warped = self.downsample(hr_warped, pre_shuffled=True)
             lv3_state = self.downsample(hr_state, pre_shuffled=True)
         else:
-            hr_state_full = hr_state
-            hr_warped_full = flow_warp_maybe_windowed(
+            hr_warped = flow_warp_maybe_windowed(
                 hr_state, flow_lv0, cfg.dcn_window_hr)
-            hr_warped = hr_warped_full
             lv3_warped = self.downsample(hr_warped)
             lv3_state = self.downsample(hr_state)
         f0, f1, f2 = state["lv"]
@@ -202,14 +204,11 @@ class CRFPRuntimeV18(nn.Module):
         full_lv3 = lrelu(self.upsample_post(feat_prop_lv0, keep_depth=cfg.hr_s2d))
         if cfg.hr_s2d:
             roi = full_lv3[:, : wph // 4, : wpw // 4]
-            aligned_full, _ = self.dcn_3(
-                roi, hr_state_full, hr_warped,
-                pixel_unshuffle(flow_lv0, 4),
-                offset if cfg.offset_prop else None)
-            aligned = pixel_unshuffle(aligned_full, 4)
+            aligned, _ = self.dcn_3(roi, hr_state, hr_warped, flow_s2d,
+                                    offset if cfg.offset_prop else None)
         else:
             roi = full_lv3[:, :wph, :wpw]
-            aligned, _ = self.dcn_3(roi, hr_state_full, hr_warped_full,
+            aligned, _ = self.dcn_3(roi, hr_state, hr_warped,
                                     flow_lv0, offset if cfg.offset_prop else None)
         lv3 = self.forward_resblocks_3(
             jnp.concatenate([roi, aligned], axis=-1), full_lv3
@@ -343,20 +342,20 @@ class CRFPRuntimeSimple(nn.Module):
         flow_lv0 = upsample(flow, cfg.scale) * float(cfg.scale)
 
         hr_state = state["hr"]  # last @ ROI (s2d layout when cfg.hr_s2d)
-        from crfp_tpu.ops.pallas.warp import flow_warp_maybe_windowed
+        from crfp_tpu.ops.pallas.warp import (
+            flow_warp_maybe_windowed,
+            flow_warp_maybe_windowed_s2d,
+        )
 
         if cfg.hr_s2d:
-            hr_state_full = pixel_shuffle(hr_state, 4)
-            hr_warped_full = flow_warp_maybe_windowed(
-                hr_state_full, flow_lv0, cfg.dcn_window_hr)
-            hr_warped = pixel_unshuffle(hr_warped_full, 4)
+            flow_s2d = pixel_unshuffle(flow_lv0, 4)
+            hr_warped = flow_warp_maybe_windowed_s2d(
+                hr_state, flow_s2d, cfg.dcn_window_hr)
             lv3_warped = self.downsample(hr_warped, pre_shuffled=True)
             lv3_state = self.downsample(hr_state, pre_shuffled=True)
         else:
-            hr_state_full = hr_state
-            hr_warped_full = flow_warp_maybe_windowed(
+            hr_warped = flow_warp_maybe_windowed(
                 hr_state, flow_lv0, cfg.dcn_window_hr)
-            hr_warped = hr_warped_full
             lv3_warped = self.downsample(hr_warped)
             lv3_state = self.downsample(hr_state)
 
@@ -377,12 +376,10 @@ class CRFPRuntimeSimple(nn.Module):
         full_lv3 = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
         roi_lv3 = self._roi(full_lv3)
         if cfg.hr_s2d:
-            aligned, _ = self.dcn_3(roi_lv3, hr_state_full, hr_warped,
-                                    pixel_unshuffle(flow_lv0, 4),
+            aligned, _ = self.dcn_3(roi_lv3, hr_state, hr_warped, flow_s2d,
                                     offset if cfg.offset_prop else None)
-            aligned = pixel_unshuffle(aligned, 4)
         else:
-            aligned, _ = self.dcn_3(roi_lv3, hr_state_full, hr_warped, flow_lv0,
+            aligned, _ = self.dcn_3(roi_lv3, hr_state, hr_warped, flow_lv0,
                                     offset if cfg.offset_prop else None)
         parts3 = [roi_lv3, aligned] + ([hr_warped] if three_way else [])
         lv3 = self.forward_resblocks_3(jnp.concatenate(parts3, axis=-1), full_lv3)

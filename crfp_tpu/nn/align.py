@@ -27,24 +27,47 @@ from crfp_tpu.ops.dcn import deform_conv2d, deform_conv2d_shared_offset
 from crfp_tpu.ops.resize import upsample as bilinear_upsample
 
 
-def _windowed_dcn(x, off, mask, weight, bias, window: int, shared: bool = False):
+def _windowed_dcn(x, off, mask, weight, bias, window: int, shared: bool = False,
+                  shared_mask: bool = False, s2d: int = 1):
     """Windowed-DCN dispatch: the Mosaic kernel on TPU (differentiable via
     its custom VJP), the XLA lax.map interpolation-matrix form elsewhere
     (same math, same clamping — tests compare the two).
 
     ``shared``: repeat mode — ``off`` is (N,H,W,G,1,2), broadcast to every
-    tap (the Pallas kernel exploits the shared fractional parts)."""
+    tap (the Pallas kernel exploits the shared fractional parts).
+    ``shared_mask``: one mask per (pixel, group) broadcast to every tap.
+    ``s2d``: every per-pixel operand and the output in space-to-depth(r)
+    layout (see crfp_tpu/ops/pallas/dcn.py)."""
     if jax.default_backend() == "tpu":
         from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_vjp
 
+        # band 32 -> P=1024 queries/grid-cell: the MXU stages run ~1.15x
+        # faster than at P=512 (round-3 tile sweep, docs/PERF.md); the
+        # shared-tap HR shape measured indifferent, so it keeps the default
         return deform_conv2d_pallas_vjp(
-            x, off, mask, weight, bias, max_displacement=window, shared_taps=shared
+            x, off, mask, weight, bias, max_displacement=window,
+            shared_taps=shared, shared_mask=shared_mask, s2d=s2d,
+            band=8 if shared else 32,
         )
     from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
 
+    k2 = weight.shape[0] * weight.shape[1]
+    if s2d > 1:
+        from crfp_tpu.ops.pallas.dcn import _s2d_to_logical
+        from crfp_tpu.ops.shuffle import pixel_unshuffle
+
+        x, off, mask = _s2d_to_logical(shared, k2, s2d, x, off, mask)
+        if shared:
+            off = jnp.broadcast_to(off, off.shape[:4] + (k2, 2))
+        if shared_mask:
+            mask = jnp.broadcast_to(mask, mask.shape[:4] + (k2,))
+        out = deform_conv2d_windowed(
+            x, off, mask, weight, bias, max_displacement=window)
+        return pixel_unshuffle(out, s2d)
     if shared:
-        k2 = weight.shape[0] * weight.shape[1]
         off = jnp.broadcast_to(off, off.shape[:4] + (k2, 2))
+    if shared_mask:
+        mask = jnp.broadcast_to(mask, mask.shape[:4] + (k2,))
     return deform_conv2d_windowed(x, off, mask, weight, bias, max_displacement=window)
 
 
@@ -81,9 +104,11 @@ class DCNAlign(nn.Module):
     # +-window; docs/PERF.md) instead of the exact gather formulation
     window: int | None = None
     # repeat mode only: compute the feature block + offset/mask heads in
-    # space-to-depth(4) layout (ConvS2D; bit-exact, same parameters).
-    # Inputs cur_x / pre_x_aligned / flow then arrive in s2d(4) layout
-    # (flow s2d of (dx, dy)); pre_x stays full-res for the sampling kernel.
+    # space-to-depth(4) layout (ConvS2D; numerically exact, same params).
+    # EVERY input (cur_x, pre_x, pre_x_aligned, flow — flow s2d of
+    # (dx, dy)) then arrives in s2d(4) layout and ``aligned`` is returned
+    # in s2d(4): the windowed kernel samples at full resolution but folds
+    # the relayouts into its prep/post transposes (ops/pallas/dcn.py).
     s2d: bool = False
 
     @nn.compact
@@ -130,9 +155,27 @@ class DCNAlign(nn.Module):
         if self.repeat:
             raw = conv_cls(g * 2, kernel_init=zero, bias_init=zero, name="dcn_offset")(feat)
             raw = self.max_residue_magnitude * jnp.tanh(raw)
+            if self.s2d and self.window is not None:
+                # keep EVERYTHING in s2d: offsets/mask stay in phase layout
+                # and the kernel consumes/produces s2d directly (its prep
+                # transposes absorb the relayout). raw s2d channels:
+                # [y x 16 phases | x x 16]; flow s2d: [dx x 16 | dy x 16].
+                off_y = raw[..., :16] + flow[..., 16:32]
+                off_x = raw[..., 16:] + flow[..., :16]
+                off = jnp.stack([off_y, off_x], axis=-2)[:, :, :, None, None]
+                mask = conv_cls(g, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
+                mask = jax.nn.sigmoid(mask)[:, :, :, None, None, :]  # (n,hs,ws,1,1,16)
+                weight = self.param("dcn_weight", _identity_kernel_init, (k, k, m, m))
+                bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
+                aligned = _windowed_dcn(
+                    pre_x, off, mask, weight, bias, self.window,
+                    shared=True, shared_mask=True, s2d=4,
+                )
+                return aligned, feat
             if self.s2d:
-                # raw s2d channels: [y x 16 phases | x x 16]; flow s2d:
-                # [dx x 16 | dy x 16] — add in s2d, shuffle up once
+                # exact-gather fallback: shuffle up to the full-res layout
+                # (correctness path; the windowed kernel above is the TPU
+                # deployment path)
                 off_y = raw[..., :16] + flow[..., 16:32]
                 off_x = raw[..., 16:] + flow[..., :16]
                 off_hr = pixel_shuffle(jnp.concatenate([off_y, off_x], axis=-1), 4)
@@ -154,22 +197,28 @@ class DCNAlign(nn.Module):
                 if self.s2d:
                     mask = pixel_shuffle(mask, 4)
                 mask = mask[:, :, :, :, None]
-                mask = jnp.broadcast_to(mask, (n, h, w, g, k2))
             weight = self.param("dcn_weight", _identity_kernel_init, (k, k, m, m))
             bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
             if self.window is not None:
-                # windowed MXU kernel, shared-tap mode (displacements
-                # clamped to +-window)
+                # windowed MXU kernel, shared-tap + shared-mask mode
+                # (displacements clamped to +-window)
                 aligned = _windowed_dcn(
                     pre_x, off[:, :, :, :, None, :], mask, weight, bias,
-                    self.window, shared=True,
+                    self.window, shared=True, shared_mask=True,
                 )
             else:
                 # all taps share one offset -> 4x4-patch gather fast path
                 # (deform_conv2d_shared_offset: 16 corner gathers, not 36)
+                pre_full = pixel_shuffle(pre_x, 4) if self.s2d else pre_x
                 aligned = deform_conv2d_shared_offset(
-                    pre_x, off[:, :, :, 0, :], mask[:, :, :, 0, :], weight, bias
+                    pre_full, off[:, :, :, 0, :],
+                    jnp.broadcast_to(mask, mask.shape[:4] + (k2,))[:, :, :, 0, :],
+                    weight, bias
                 )
+                if self.s2d:
+                    from crfp_tpu.ops.shuffle import pixel_unshuffle
+
+                    aligned = pixel_unshuffle(aligned, 4)
             return aligned, feat
         else:
             n, h, w, _ = feat.shape

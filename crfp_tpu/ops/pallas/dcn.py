@@ -77,7 +77,7 @@ def _dcn_kernel(
     kh: int = 3,
     kw: int = 3,
     shared: bool = False,
-    has_mask: bool = True,
+    mask_mode: str = "per_tap",  # 'none' | 'shared' | 'per_tap'
 ):
     """Transposed-query layout: every per-query array keeps the P query
     index on LANES (p_tile is a multiple of 128) and the small field/
@@ -177,7 +177,8 @@ def _dcn_kernel(
         # repeat mode: every tap shares one (dy, dx) per pixel, so tap
         # (ty, tx) samples at center + (ty, tx) — one row interpolation
         # per kernel ROW and one column-weight build per kernel COLUMN
-        # instead of per tap. qd sublanes: [ly, lx, mask_0..mask_{k2-1}].
+        # instead of per tap. qd sublanes: [ly, lx, mask_0..mask_{k2-1}]
+        # (one mask sublane in 'shared' mask mode).
         ly_c = qd[0:1]
         lx_c = qd[1:2]
         cws = [colweights(lx_c + float(tx - (kw - 1) // 2)) for tx in range(kw)]
@@ -185,13 +186,18 @@ def _dcn_kernel(
             v = stage1(ly_c + float(ty - (kh - 1) // 2))
             for tx in range(kw):
                 k = ty * kw + tx
-                mk = qd[2 + k : 3 + k] if has_mask else None
+                mk = qd[2 + k : 3 + k] if mask_mode == "per_tap" else None
                 acc = stage2(acc, v, cws[tx], mk, k)
+        if mask_mode == "shared":
+            # one modulation scalar per (pixel, group) broadcast to every
+            # tap: the sum over taps is linear, so scale the accumulator
+            # once instead of k2 multiplies over (wcwin, P)
+            acc = acc * qd[2:3]
     else:
         for k in range(k2):
             v = stage1(qd[k : k + 1])
             cw = colweights(qd[k2 + k : k2 + k + 1])
-            mk = qd[2 * k2 + k : 2 * k2 + k + 1] if has_mask else None
+            mk = qd[2 * k2 + k : 2 * k2 + k + 1] if mask_mode == "per_tap" else None
             acc = stage2(acc, v, cw, mk, k)
 
     g = i % n_groups
@@ -216,6 +222,8 @@ def deform_conv2d_pallas(
     band: int = 8,
     xtile: int = 32,
     shared_taps: bool = False,
+    shared_mask: bool = False,
+    s2d: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Windowed modulated deformable conv (stride 1, 'same', dilation 1).
@@ -235,6 +243,22 @@ def deform_conv2d_pallas(
     kernel row and one column-weight set per kernel column instead of
     per tap (~kh-fold less stage-1 work).
 
+    ``shared_mask`` (requires shared_taps): one modulation scalar per
+    (pixel, group) broadcast to every tap — pass mask (N, H, W, G, 1).
+    The sum over taps is linear, so the kernel scales its accumulator
+    once instead of multiplying k2 (wcwin, P) intermediates (this is
+    exactly the reference repeat-mode DCN_module, whose mask head emits
+    one channel per group, /root/reference/model/CRFP.py:339-347).
+
+    ``s2d=r``: every per-pixel operand arrives/leaves in space-to-depth(r)
+    layout with unchanged full-resolution semantics — x (N, H/r, W/r,
+    C*r^2) c-major, offset (N, H/r, W/r, G, K, 2, r^2), mask (N, H/r,
+    W/r, G, Km, r^2), output (N, H/r, W/r, O*r^2). The hr_s2d model tail
+    keeps its activations in this layout; folding the relayout into the
+    kernel's existing prep/post transposes removes the pixel_shuffle /
+    pixel_unshuffle copy pairs (~8 MB each at data-formatting rates) that
+    a round-3 device trace showed bracketing every kernel call.
+
     Mosaic requires every manual DMA slice of the (8, 128)-tiled source
     planes to be tile-aligned in both sublane (rows) and lane (w*cpg)
     dims, so the geometry is quantized: band and the window row count to
@@ -244,14 +268,29 @@ def deform_conv2d_pallas(
     """
     import math
 
-    n, h, w, c = x.shape
+    r = s2d
+    assert r == 1 or not (r & (r - 1)) or True  # any r >= 1
+    if shared_mask:
+        assert shared_taps, "shared_mask is defined for shared_taps mode"
     kh, kw, wc, o = weight.shape
-    assert wc == c, (weight.shape, x.shape)
     k2 = kh * kw
-    g = offset.shape[3]
     k_off = 1 if shared_taps else k2
-    assert offset.shape == (n, h, w, g, k_off, 2), (offset.shape, shared_taps)
-    assert mask is None or mask.shape == (n, h, w, g, k2), mask.shape
+    k_mask = 1 if shared_mask else k2
+    if r > 1:
+        n, hs, ws, cs = x.shape
+        assert cs % (r * r) == 0, (x.shape, r)
+        c = cs // (r * r)
+        h, w = hs * r, ws * r
+        g = offset.shape[3]
+        assert offset.shape == (n, hs, ws, g, k_off, 2, r * r), offset.shape
+        assert mask is None or mask.shape == (n, hs, ws, g, k_mask, r * r), (
+            mask.shape)
+    else:
+        n, h, w, c = x.shape
+        g = offset.shape[3]
+        assert offset.shape == (n, h, w, g, k_off, 2), (offset.shape, shared_taps)
+        assert mask is None or mask.shape == (n, h, w, g, k_mask), mask.shape
+    assert wc == c, (weight.shape, x.shape)
     assert c % g == 0, (c, g)
     cpg = c // g
     pad_y, pad_x = (kh - 1) // 2, (kw - 1) // 2
@@ -263,34 +302,51 @@ def deform_conv2d_pallas(
 
     sub_tile = 16 if x.dtype == jnp.bfloat16 else 8
     # row starts are bi*band and the slice height is band + 2*halo: both
-    # must be multiples of the sublane tile
-    band = round_up(band, sub_tile)
+    # must be multiples of the sublane tile (and of the s2d block)
+    band = round_up(band, sub_tile if r == 1 else math.lcm(sub_tile, r))
     halo = round_up(halo, sub_tile // 2)
     # lane starts are tj*xtile*cpg and the slice width (xtile + 2*halo)*cpg:
     # multiples of 128 lanes
     lane_q = 128 // math.gcd(cpg, 128)
-    xtile = round_up(xtile, lane_q)
+    xtile = round_up(xtile, lane_q if r == 1 else math.lcm(lane_q, r))
     halo = round_up(halo, max(sub_tile // 2, lane_q // 2))
 
-    # scoped-VMEM guard: the per-cell intermediates (v/cw f32 + u in the
-    # compute dtype + padded qd/out blocks + the window scratch) must stay
-    # under Mosaic's 16M stack limit; shrink the band until they do.
-    # (Observed: f32 P=2048 x wcwin=512 OOMs at 16.71M; bf16 fits.)
+    # scoped-VMEM guard: the per-cell intermediates (v f32, the column
+    # weights — kw of them cached in shared mode — the u product in the
+    # compute dtype, the double-buffered qd/out/weight blocks and the
+    # window scratch) must stay under Mosaic's 16M stack limit; shrink the
+    # band, then the xtile, until they do. (Observed: f32 P=2048 x
+    # wcwin=512 OOMs at 16.71M; f32 shared g=1 cpg=32 hit 23.8M before the
+    # wexp-block and cws terms were counted.)
     item = 2 if x.dtype == jnp.bfloat16 else 4
-    k_fields = 1 if shared_taps else k2
-    l_est = round_up(2 * k_fields + (k2 if mask is not None else 0), sub_tile)
-    while band > sub_tile:
-        p_est = band * xtile
-        wcwin_est = (xtile + 2 * halo) * cpg
-        hwin_est = band + 2 * halo
+    l_est = round_up(2 * k_off + (k_mask if mask is not None else 0), sub_tile)
+    band_q = sub_tile if r == 1 else math.lcm(sub_tile, r)
+    xtile_q = lane_q if r == 1 else math.lcm(lane_q, r)
+
+    def vmem_est(band_e, xtile_e):
+        p_est = band_e * xtile_e
+        wcwin_est = (xtile_e + 2 * halo) * cpg
+        hwin_est = band_e + 2 * halo
+        cw_bufs = 4 * (kw if shared_taps else 1)  # cached cws in shared mode
         est = (
-            p_est * wcwin_est * (8 + item)       # v f32 + u cdtype
-            + p_est * (l_est + o + 8) * 4        # qd + out blocks (dense)
-            + 2 * hwin_est * wcwin_est * item    # double-buffered window
+            p_est * wcwin_est * (4 + item + cw_bufs)  # v f32 + u + cw(s)
+            + p_est * (l_est + o + 8) * 4             # qd + out blocks (dense)
+            + 2 * hwin_est * wcwin_est * item         # double-buffered window
+            + 2 * k2 * o * wcwin_est * item           # double-buffered wexp block
         )
-        if est <= 14_000_000:
-            break
-        band -= sub_tile
+        # Mosaic's actual stack peaks run 1.3-1.75x over this sum
+        # (ungrouped temporaries per tap; measured: f32 warp P=2048
+        # 16.71M vs 12.6M est, f32 shared cpg=32 23.8M vs 13.8M est)
+        return est * (1.75 if shared_taps else 1.33)
+
+    while band > band_q and vmem_est(band, xtile) > 15_500_000:
+        band -= band_q
+    # band at its floor and still over: shrink xtile in steps that keep
+    # p_tile a multiple of 128 lanes (and of the s2d block)
+    xstep = math.lcm(xtile_q, 128 // math.gcd(band, 128))
+    xtile = round_up(xtile, xstep)
+    while xtile > xstep and vmem_est(band, xtile) > 15_500_000:
+        xtile -= xstep
 
     n_bands = -(-h // band)
     n_tiles = -(-w // xtile)
@@ -304,7 +360,13 @@ def deform_conv2d_pallas(
 
     # ---- XLA-side prep (cheap elementwise/transpose work) ----
     # padded group planes with flattened (w, cpg) lanes
-    xg = x.reshape(n, h, w, g, cpg).transpose(0, 3, 1, 2, 4)
+    if r > 1:
+        # one combined transpose from the s2d layout (channel = c*r^2 +
+        # ry*r + rx, c-major) straight to the padded planes
+        xg = x.reshape(n, hs, ws, g, cpg, r, r).transpose(0, 3, 1, 5, 2, 6, 4)
+        xg = xg.reshape(n, g, h, w, cpg)
+    else:
+        xg = x.reshape(n, h, w, g, cpg).transpose(0, 3, 1, 2, 4)
     xg = jnp.pad(
         xg,
         ((0, 0), (0, 0), (halo, halo + h_pad), (halo, halo + w_pad), (0, 0)),
@@ -312,22 +374,46 @@ def deform_conv2d_pallas(
 
     # absolute sample coords with clamped displacement
     off = jnp.clip(offset.astype(jnp.float32), -float(d), float(d))
-    gy = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1, 1, 1)
-    gx = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w, 1, 1)
+    if r > 1:
+        # s2d grid coordinates: y = Y*r + p//r, x = X*r + p%r with the
+        # phase index p on the trailing axis
+        py = (jnp.arange(r * r, dtype=jnp.float32) // r).reshape(1, 1, 1, 1, 1, r * r)
+        px = (jnp.arange(r * r, dtype=jnp.float32) % r).reshape(1, 1, 1, 1, 1, r * r)
+        gy = jnp.arange(hs, dtype=jnp.float32).reshape(1, hs, 1, 1, 1, 1) * r + py
+        gx = jnp.arange(ws, dtype=jnp.float32).reshape(1, 1, ws, 1, 1, 1) * r + px
+    else:
+        gy = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1, 1, 1)
+        gx = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w, 1, 1)
     if shared_taps:
         # center-tap coordinates only; the kernel adds the tap shifts
-        sy = gy + off[..., 0]  # (n, h, w, g, 1)
-        sx = gx + off[..., 1]
+        sy = gy + off[..., 0, :] if r > 1 else gy + off[..., 0]  # (n,h,w,g,1[,r2])
+        sx = gx + off[..., 1, :] if r > 1 else gx + off[..., 1]
     else:
-        ty = (jnp.arange(kh, dtype=jnp.float32) - pad_y).repeat(kw).reshape(1, 1, 1, 1, k2)
-        tx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) - pad_x, kh).reshape(1, 1, 1, 1, k2)
-        sy = gy + ty + off[..., 0]  # (n, h, w, g, k2)
-        sx = gx + tx + off[..., 1]
+        if r > 1:
+            ty = (jnp.arange(kh, dtype=jnp.float32) - pad_y).repeat(kw).reshape(1, 1, 1, 1, k2, 1)
+            tx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) - pad_x, kh).reshape(1, 1, 1, 1, k2, 1)
+            sy = gy + ty + off[..., 0, :]  # (n, hs, ws, g, k2, r2)
+            sx = gx + tx + off[..., 1, :]
+        else:
+            ty = (jnp.arange(kh, dtype=jnp.float32) - pad_y).repeat(kw).reshape(1, 1, 1, 1, k2)
+            tx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) - pad_x, kh).reshape(1, 1, 1, 1, k2)
+            sy = gy + ty + off[..., 0]  # (n, h, w, g, k2)
+            sx = gx + tx + off[..., 1]
 
     def cellwise(a):
-        """(n, h, w, g, K) -> (n*g, n_cells, K, P): queries on the LANE
-        axis (P row-major within the cell), fields on sublanes — dense in
-        HBM for any field count (P is a multiple of 128)."""
+        """(n, h, w, g, K) [or the s2d form (n, hs, ws, g, K, r^2)] ->
+        (n*g, n_cells, K, P): queries on the LANE axis (P row-major within
+        the cell), fields on sublanes — dense in HBM for any field count
+        (P is a multiple of 128)."""
+        if r > 1:
+            kk = a.shape[4]
+            a = jnp.pad(
+                a,
+                ((0, 0), (0, h_pad // r), (0, w_pad // r), (0, 0), (0, 0), (0, 0)),
+            )
+            a = a.reshape(n, n_bands, band // r, n_tiles, xtile // r, g, kk, r, r)
+            a = a.transpose(0, 5, 1, 3, 6, 2, 7, 4, 8)
+            return a.reshape(n * g, n_cells, kk, p_tile)
         kk = a.shape[-1]
         a = jnp.pad(a, ((0, 0), (0, h_pad), (0, w_pad), (0, 0), (0, 0)))
         a = a.reshape(n, n_bands, band, n_tiles, xtile, g, kk)
@@ -338,12 +424,21 @@ def deform_conv2d_pallas(
     # frame, so the whole elementwise chain (clip + tap + base) fuses into
     # the cellwise transpose instead of running on tile-padded
     # (..., P, few-lane) intermediates
-    row_base = (band * (jnp.arange(h, dtype=jnp.float32) // band) - halo).reshape(
-        1, h, 1, 1, 1
-    )
-    col_base = (xtile * (jnp.arange(w, dtype=jnp.float32) // xtile) - halo).reshape(
-        1, 1, w, 1, 1
-    )
+    if r > 1:
+        # y//band depends only on the s2d block row because band % r == 0
+        row_base = (
+            band * (jnp.arange(hs, dtype=jnp.float32) // (band // r)) - halo
+        ).reshape(1, hs, 1, 1, 1, 1)
+        col_base = (
+            xtile * (jnp.arange(ws, dtype=jnp.float32) // (xtile // r)) - halo
+        ).reshape(1, 1, ws, 1, 1, 1)
+    else:
+        row_base = (band * (jnp.arange(h, dtype=jnp.float32) // band) - halo).reshape(
+            1, h, 1, 1, 1
+        )
+        col_base = (xtile * (jnp.arange(w, dtype=jnp.float32) // xtile) - halo).reshape(
+            1, 1, w, 1, 1
+        )
     ly = cellwise(sy - row_base)
     lx = cellwise(sx - col_base)
     if mask is None:
@@ -352,9 +447,10 @@ def deform_conv2d_pallas(
         qd_lanes = 2 * k_off
     else:
         mkq = cellwise(mask.astype(jnp.float32))
-        # sublanes: [ly_0..ly_{K-1} | lx_0.. | mask_0..] (K=1 when shared_taps)
-        qd = jnp.concatenate([ly, lx, mkq], axis=2)  # (NG, cells, 2*K + k2, P)
-        qd_lanes = 2 * k_off + k2
+        # sublanes: [ly_0..ly_{K-1} | lx_0.. | mask_0..] (K=1 when
+        # shared_taps; one mask sublane when shared_mask)
+        qd = jnp.concatenate([ly, lx, mkq], axis=2)
+        qd_lanes = 2 * k_off + k_mask
 
     # weights expanded transposed onto the flat sublane axis:
     # W[g, k, o, x*cpg + ch] = weight[k, ch, o] for every window column x
@@ -376,7 +472,9 @@ def deform_conv2d_pallas(
         kh=kh,
         kw=kw,
         shared=shared_taps,
-        has_mask=mask is not None,
+        mask_mode=(
+            "none" if mask is None else ("shared" if shared_mask else "per_tap")
+        ),
     )
     total = n * n_cells * g
     out = pl.pallas_call(
@@ -413,18 +511,48 @@ def deform_conv2d_pallas(
         interpret=interpret,
     )(qd, wexp, xg)
 
-    out = out.reshape(n, n_bands, n_tiles, o, band, xtile)
-    out = out.transpose(0, 1, 4, 2, 5, 3).reshape(
-        n, n_bands * band, n_tiles * xtile, o
-    )[:, :h, :w]
+    if r > 1:
+        # emit straight back to s2d(r) layout (channel = oc*r^2 + phase)
+        out = out.reshape(n, n_bands, n_tiles, o, band // r, r, xtile // r, r)
+        out = out.transpose(0, 1, 4, 2, 6, 3, 5, 7).reshape(
+            n, n_bands * (band // r), n_tiles * (xtile // r), o * r * r
+        )[:, :hs, :ws]
+    else:
+        out = out.reshape(n, n_bands, n_tiles, o, band, xtile)
+        out = out.transpose(0, 1, 4, 2, 5, 3).reshape(
+            n, n_bands * band, n_tiles * xtile, o
+        )[:, :h, :w]
     if bias is not None:
-        out = out + bias
+        out = out + (jnp.tile(bias[:, None], (1, r * r)).reshape(-1) if r > 1 else bias)
     return out.astype(x.dtype)
+
+
+def _s2d_to_logical(shared_taps, k2, r, x, offset, mask):
+    """Undo the s2d(r) operand layout (linear relayouts, autodiff-safe)."""
+    from crfp_tpu.ops.shuffle import pixel_shuffle
+
+    n, hs, ws, _ = x.shape
+    g = offset.shape[3]
+    k_off = 1 if shared_taps else k2
+    x_full = pixel_shuffle(x, r)
+    # offset (n, hs, ws, g, K, 2, r^2): flattening (g, K, 2, r^2) keeps the
+    # phase minor, which is exactly pixel_shuffle's c-major channel order
+    off_full = pixel_shuffle(offset.reshape(n, hs, ws, -1), r)
+    h, w = hs * r, ws * r
+    off_full = off_full.reshape(n, h, w, g, k_off, 2)
+    mask_full = None
+    if mask is not None:
+        km = mask.shape[4]
+        mask_full = pixel_shuffle(
+            mask.reshape(n, hs, ws, g * km * r * r), r
+        ).reshape(n, h, w, g, km)
+    return x_full, off_full, mask_full
 
 
 @functools.lru_cache(maxsize=None)
 def _vjp_wrapped_nomask(
-    max_displacement: int, band: int, xtile: int, shared_taps: bool, interpret: bool
+    max_displacement: int, band: int, xtile: int, shared_taps: bool,
+    s2d: int, interpret: bool
 ):
     """custom_vjp closure for the unit-mask (plain warp) case."""
 
@@ -433,7 +561,7 @@ def _vjp_wrapped_nomask(
         return deform_conv2d_pallas(
             x, offset, None, weight, bias,
             max_displacement=max_displacement, band=band, xtile=xtile,
-            shared_taps=shared_taps, interpret=interpret,
+            shared_taps=shared_taps, s2d=s2d, interpret=interpret,
         )
 
     def fwd(x, offset, weight, bias):
@@ -441,17 +569,21 @@ def _vjp_wrapped_nomask(
 
     def bwd(res, g_out):
         from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
+        from crfp_tpu.ops.shuffle import pixel_unshuffle
 
         x, offset, weight, bias = res
         k2 = weight.shape[0] * weight.shape[1]
 
         def f(x, offset, weight, bias):
+            if s2d > 1:
+                x, offset, _ = _s2d_to_logical(shared_taps, k2, s2d, x, offset, None)
             if shared_taps:
                 offset = jnp.broadcast_to(offset, offset.shape[:4] + (k2, 2))
             ones = jnp.ones(offset.shape[:4] + (k2,), jnp.float32)
-            return deform_conv2d_windowed(
+            out = deform_conv2d_windowed(
                 x, offset, ones, weight, bias, max_displacement=max_displacement
             )
+            return pixel_unshuffle(out, s2d) if s2d > 1 else out
 
         _, pullback = jax.vjp(f, x, offset, weight, bias)
         return pullback(g_out.astype(jnp.float32) if g_out.dtype != x.dtype else g_out)
@@ -462,7 +594,8 @@ def _vjp_wrapped_nomask(
 
 @functools.lru_cache(maxsize=None)
 def _vjp_wrapped(
-    max_displacement: int, band: int, xtile: int, shared_taps: bool, interpret: bool
+    max_displacement: int, band: int, xtile: int, shared_taps: bool,
+    shared_mask: bool, s2d: int, interpret: bool
 ):
     """custom_vjp closure per static window config.
 
@@ -478,7 +611,8 @@ def _vjp_wrapped(
         return deform_conv2d_pallas(
             x, offset, mask, weight, bias,
             max_displacement=max_displacement, band=band, xtile=xtile,
-            shared_taps=shared_taps, interpret=interpret,
+            shared_taps=shared_taps, shared_mask=shared_mask, s2d=s2d,
+            interpret=interpret,
         )
 
     def fwd(x, offset, mask, weight, bias):
@@ -486,16 +620,22 @@ def _vjp_wrapped(
 
     def bwd(res, g_out):
         from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
+        from crfp_tpu.ops.shuffle import pixel_unshuffle
 
         x, offset, mask, weight, bias = res
         k2 = weight.shape[0] * weight.shape[1]
 
         def f(x, offset, mask, weight, bias):
+            if s2d > 1:
+                x, offset, mask = _s2d_to_logical(shared_taps, k2, s2d, x, offset, mask)
             if shared_taps:
                 offset = jnp.broadcast_to(offset, offset.shape[:4] + (k2, 2))
-            return deform_conv2d_windowed(
+            if shared_mask:
+                mask = jnp.broadcast_to(mask, mask.shape[:4] + (k2,))
+            out = deform_conv2d_windowed(
                 x, offset, mask, weight, bias, max_displacement=max_displacement
             )
+            return pixel_unshuffle(out, s2d) if s2d > 1 else out
 
         _, pullback = jax.vjp(f, x, offset, mask, weight, bias)
         return pullback(g_out.astype(jnp.float32) if g_out.dtype != x.dtype else g_out)
@@ -515,17 +655,22 @@ def deform_conv2d_pallas_vjp(
     band: int = 8,
     xtile: int = 32,
     shared_taps: bool = False,
+    shared_mask: bool = False,
+    s2d: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Differentiable windowed DCN: Pallas forward, XLA-windowed backward.
 
     ``mask=None`` means unit modulation (the plain warp): the mask field
     is dropped from the kernel's query data and its gradient is skipped.
+    ``shared_mask`` / ``s2d``: see :func:`deform_conv2d_pallas`.
     """
     if bias is None:
         bias = jnp.zeros((weight.shape[-1],), x.dtype)
     if mask is None:
-        op = _vjp_wrapped_nomask(max_displacement, band, xtile, shared_taps, interpret)
+        op = _vjp_wrapped_nomask(
+            max_displacement, band, xtile, shared_taps, s2d, interpret)
         return op(x, offset, weight, bias)
-    op = _vjp_wrapped(max_displacement, band, xtile, shared_taps, interpret)
+    op = _vjp_wrapped(
+        max_displacement, band, xtile, shared_taps, shared_mask, s2d, interpret)
     return op(x, offset, mask, weight, bias)

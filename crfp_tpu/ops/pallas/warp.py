@@ -50,6 +50,34 @@ def flow_warp_windowed_pallas(
     )
 
 
+def flow_warp_windowed_pallas_s2d(
+    x_s2d: jax.Array,
+    flow_s2d: jax.Array,
+    *,
+    r: int = 4,
+    max_displacement: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """The windowed warp with every operand in space-to-depth(r) layout
+    (unchanged full-resolution sampling semantics): x (N, H/r, W/r,
+    C*r^2) c-major, flow (N, H/r, W/r, 2*r^2) = pixel_unshuffle of the
+    (dx, dy) field, output s2d. Folding the relayouts into the kernel's
+    prep/post transposes removes the pixel_shuffle/unshuffle copy pairs
+    that bracketed the warp in the hr_s2d model (round-3 device trace)."""
+    n, hs, ws, cs = x_s2d.shape
+    r2 = r * r
+    c = cs // r2
+    dy = flow_s2d[..., r2:]
+    dx = flow_s2d[..., :r2]
+    off = jnp.stack([dy, dx], axis=-2)[:, :, :, None, None]  # (n,hs,ws,1,1,2,r2)
+    eye = jnp.eye(c, dtype=x_s2d.dtype).reshape(1, 1, c, c)
+    return deform_conv2d_pallas_vjp(
+        x_s2d, off, None, eye, None,
+        max_displacement=max_displacement, band=64, xtile=32, s2d=r,
+        interpret=interpret,
+    )
+
+
 def flow_warp_maybe_windowed(
     x: jax.Array, flow: jax.Array, window: int | None
 ) -> jax.Array:
@@ -63,7 +91,33 @@ def flow_warp_maybe_windowed(
     return flow_warp_xla(x, jnp.clip(flow, -float(window), float(window)))
 
 
+def flow_warp_maybe_windowed_s2d(
+    x_s2d: jax.Array, flow_s2d: jax.Array, window: int | None, r: int = 4
+) -> jax.Array:
+    """s2d-layout counterpart of :func:`flow_warp_maybe_windowed` (used by
+    the hr_s2d model tail, which keeps its HR state in s2d(4) layout).
+    Off-TPU it round-trips through the full-res layout — correctness-only
+    paths (tests, CPU) pay the relayout, the TPU kernel does not."""
+    from crfp_tpu.ops.shuffle import pixel_shuffle, pixel_unshuffle
+
+    if window is not None and jax.default_backend() == "tpu":
+        return flow_warp_windowed_pallas_s2d(
+            x_s2d, flow_s2d, r=r, max_displacement=window)
+    x = pixel_shuffle(x_s2d, r)
+    flow = pixel_shuffle(flow_s2d, r)
+    if window is None:
+        return pixel_unshuffle(flow_warp_xla(x, flow), r)
+    return pixel_unshuffle(
+        flow_warp_xla(x, jnp.clip(flow, -float(window), float(window))), r)
+
+
 # legacy alias: the unbounded-flow path stays on XLA gathers
 flow_warp_pallas = flow_warp_xla
 
-__all__ = ["flow_warp_windowed_pallas", "flow_warp_maybe_windowed", "flow_warp_pallas"]
+__all__ = [
+    "flow_warp_windowed_pallas",
+    "flow_warp_windowed_pallas_s2d",
+    "flow_warp_maybe_windowed",
+    "flow_warp_maybe_windowed_s2d",
+    "flow_warp_pallas",
+]

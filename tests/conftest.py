@@ -7,20 +7,27 @@ without hardware, per SURVEY.md §4.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# CRFP_TPU_TESTS=1 runs the `-m tpu` tier against the real chip (compiled
+# Mosaic kernels — the verify path gates on it); everything else runs on
+# the virtual 8-device CPU mesh.
+_TPU_TIER = bool(os.environ.get("CRFP_TPU_TESTS"))
+
+if not _TPU_TIER:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax
 import pytest
 
-# the axon sitecustomize pins jax_platforms at interpreter boot; an explicit
-# config update is the only thing that overrides it
-jax.config.update("jax_platforms", "cpu")
-assert jax.devices()[0].platform == "cpu", jax.devices()
-assert jax.device_count() >= 8, jax.devices()
+if not _TPU_TIER:
+    # the axon sitecustomize pins jax_platforms at interpreter boot; an
+    # explicit config update is the only thing that overrides it
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    assert jax.device_count() >= 8, jax.devices()
 
 
 # fast/slow tiers: `pytest -m fast` is the sub-minute smoke gate; the slow
@@ -48,5 +55,14 @@ _SLOW_PREFIXES = (
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
+        if "tpu" in [m.name for m in item.iter_markers()]:
+            # tpu-tier tests run only under CRFP_TPU_TESTS=1 (real chip)
+            if not _TPU_TIER:
+                item.add_marker(pytest.mark.skip(
+                    reason="compiled-TPU tier: set CRFP_TPU_TESTS=1 and run -m tpu"))
+            continue
+        if _TPU_TIER:
+            item.add_marker(pytest.mark.skip(reason="CPU-tier test in TPU run"))
+            continue
         slow = any(item.nodeid.startswith(p) for p in _SLOW_PREFIXES)
         item.add_marker(pytest.mark.slow if slow else pytest.mark.fast)
