@@ -413,9 +413,16 @@ class CRFP(nn.Module):
             else:
                 lv3_state = self.downsample(hr_state)
                 hr_warped = self._warp_hr(hr_state, flow_lv0)
-            lv3_warped = flow_warp(lv3_state, flow_lv3)
+            # the 1/4-res state warps share the trunk DCN's displacement
+            # budget: with dcn_window set they ride the windowed kernel
+            # instead of XLA gathers (docs/PERF.md)
+            from crfp_tpu.ops.pallas.warp import flow_warp_maybe_windowed
+
+            lv3_warped = flow_warp_maybe_windowed(
+                lv3_state, flow_lv3, cfg.dcn_window)
             f0, f1, f2 = state["lv"]
-            mixed = flow_warp(jnp.concatenate([f0, f1, f2], axis=-1), flow_lv3)
+            mixed = flow_warp_maybe_windowed(
+                jnp.concatenate([f0, f1, f2], axis=-1), flow_lv3, cfg.dcn_window)
             f0, f1, f2 = jnp.split(mixed, 3, axis=-1)
 
             offset = None

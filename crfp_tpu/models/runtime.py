@@ -182,7 +182,9 @@ class CRFPRuntimeV18(nn.Module):
             lv3_warped = self.downsample(hr_warped)
             lv3_state = self.downsample(hr_state)
         f0, f1, f2 = state["lv"]
-        mixed = flow_warp(jnp.concatenate([f0, f1, f2], axis=-1), flow_lv3)
+        # shares the trunk DCN's displacement budget (docs/PERF.md)
+        mixed = flow_warp_maybe_windowed(
+            jnp.concatenate([f0, f1, f2], axis=-1), flow_lv3, cfg.dcn_window)
         f0, f1, f2 = jnp.split(mixed, 3, axis=-1)
 
         roi_lv0 = feat_prop_lv0[:, : wph // 4, : wpw // 4]

@@ -43,11 +43,16 @@ def _windowed_dcn(x, off, mask, weight, bias, window: int, shared: bool = False,
 
         # band 32 -> P=1024 queries/grid-cell: the MXU stages run ~1.15x
         # faster than at P=512 (round-3 tile sweep, docs/PERF.md); the
-        # shared-tap HR shape measured indifferent, so it keeps the default
+        # shared-tap HR shape measured indifferent, so it keeps the
+        # default. f32 (the training path) stays at band 8: its Mosaic
+        # stack peaks run ~2.2x over the static estimate at the small-cpg
+        # training shapes (observed 16.11M vs 7.3M est at mid=16), which
+        # the VMEM guard cannot reliably predict.
+        band = 32 if (not shared and x.dtype == jnp.bfloat16) else 8
         return deform_conv2d_pallas_vjp(
             x, off, mask, weight, bias, max_displacement=window,
             shared_taps=shared, shared_mask=shared_mask, s2d=s2d,
-            band=8 if shared else 32,
+            band=band,
         )
     from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
 

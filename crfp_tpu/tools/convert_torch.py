@@ -92,11 +92,23 @@ def _map_lte(rest: list[str]) -> list[str]:
     raise KeyError(rest)
 
 
-def _map_resblocks(rest: list[str]) -> list[str]:
-    # main.0 = input conv; main.2.{i}.conv{1,2} = residual blocks
+def _map_resblocks(rest: list[str], stitching: bool = False) -> list[str] | None:
+    """Batch-model naming: main.0 = input conv, main.2.{i}.conv{1,2} =
+    residual blocks. Runtime-model naming (CRFP_runtime.py:464-556):
+    conv1 (+ dead conv2 on the cold-start blocks), main.1.{i}.conv{1,2}.
+    ``stitching``: the _v2 block — conv1/conv2 both live, mapped to the
+    flax ResidualBlocksWithInputConvV2 names. Returns None for the
+    reference's dead parameters (cold-start conv2)."""
     leaf = {"weight": "kernel", "bias": "bias"}[rest[-1]]
+    if rest[0] == "conv1":
+        return (["conv1", "conv", leaf] if stitching else ["input_conv", "conv", leaf])
+    if rest[0] == "conv2":
+        return (["conv2", "conv", leaf] if stitching else None)
+    assert rest[0] == "main"
     if rest[1] == "0":
         return ["input_conv", "conv", leaf]
+    if rest[1] == "1":  # runtime naming: main = [lrelu, blocks]
+        return [f"block{rest[2]}", rest[3], "conv", leaf]
     assert rest[1] == "2"
     return [f"block{rest[2]}", rest[3], "conv", leaf]
 
@@ -139,7 +151,14 @@ def convert_state_dict(state_dict: dict[str, Any], strict: bool = True) -> dict:
                 path = [top] + _map_lte(rest)
                 is_w = parts[-1] == "weight"
             elif top.startswith("forward_resblocks"):
-                path = [top] + _map_resblocks(rest)
+                # runtime stitching blocks (no trailing underscore, _v2
+                # naming) keep conv1/conv2; cold-start blocks' dead conv2
+                # is skipped (CRFP_runtime.py:481 — params exist unused)
+                stitching = not top.endswith("_") and rest[0] in ("conv1", "conv2")
+                mapped = _map_resblocks(rest, stitching=stitching)
+                if mapped is None:
+                    continue
+                path = [top] + mapped
                 is_w = parts[-1] == "weight"
             elif top in ("downsample",):
                 path = [top, "downsample_conv", "conv",

@@ -1,0 +1,180 @@
+"""Train a small CRFP for real on procedural clips (VERDICT round-2 task 4).
+
+The container has no REDS/Vimeo data and no reference checkpoints, so the
+trained-weights quality gates (windowed-clamp cost under a LEARNED flow
+net, GOLDEN configs 3-5) use a model trained here on procedurally
+generated translating textures: Gaussian-filtered noise fields plus
+moving high-contrast ridges, per-clip random velocity/direction spanning
+the windowed-DCN displacement budget. The recipe mirrors the reference
+trainer (Charbonnier loss eps 1e-12, two-group Adam with the flow-net
+group at lr/8, cosine schedule, flow freeze then unfreeze —
+/root/reference/trainer.py:120-229) scaled down to this host.
+
+Run (TPU, ~20 min at the defaults):
+    python -m crfp_tpu.tools.train_procedural --iters 2000 \
+        --save checkpoints/v18_mid16_procedural.npz
+
+The persistent XLA compile cache (task 5) is enabled by default at
+.jax_cache/ so re-runs and bigger rungs skip recompilation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def make_clip_pool(n_clips: int, t: int, gt: int, seed: int, scale: int = 8):
+    """Pre-generate procedural HR clips: filtered-noise texture + ridge
+    patterns, translated by a per-clip constant velocity (|v| up to
+    ~3 LR px/frame, i.e. up to the D=8 trunk window at 2x)."""
+    from scipy import ndimage
+
+    rng = np.random.default_rng(seed)
+    clips = []
+    pad = t * 3 * scale
+    for i in range(n_clips):
+        big = rng.uniform(0, 1, (gt + pad, gt + pad, 3))
+        sigma = float(rng.uniform(1.5, 4.0))
+        big = ndimage.gaussian_filter(big, (sigma, sigma, 0))
+        # high-contrast ridges so flow/alignment has structure to latch on
+        yy, xx = np.mgrid[0 : gt + pad, 0 : gt + pad]
+        ang = float(rng.uniform(0, np.pi))
+        wave = 0.25 * np.sin((np.cos(ang) * yy + np.sin(ang) * xx) / rng.uniform(6, 24))
+        big = big + wave[..., None]
+        big = (big - big.min()) / (big.max() - big.min() + 1e-9)
+        v = rng.uniform(-3.0, 3.0, 2) * scale  # HR px/frame
+        frames = []
+        for k in range(t):
+            y0 = int(round(pad / 2 + k * v[0]))
+            x0 = int(round(pad / 2 + k * v[1]))
+            y0 = np.clip(y0, 0, pad)
+            x0 = np.clip(x0, 0, pad)
+            frames.append(big[y0 : y0 + gt, x0 : x0 + gt])
+        clips.append(np.stack(frames).astype(np.float32))
+    return clips
+
+
+def make_batch(clips, b: int, t: int, gt: int, rng, scale: int = 8):
+    import jax.numpy as jnp
+
+    from crfp_tpu.data.fovea import fovea_generator
+
+    hrs, lrs, mks = [], [], []
+    for _ in range(b):
+        hr = clips[int(rng.integers(0, len(clips)))]
+        hrs.append(hr)
+        lrs.append(hr.reshape(t, gt // scale, scale, gt // scale, scale, 3).mean((2, 4)))
+        _, mk, _ = fovea_generator(hr, method="Nanascan",
+                                   fv_hw=(gt // 2, gt // 2), rng=rng)
+        mks.append(mk)
+    hr = jnp.asarray(np.stack(hrs))
+    return {"hr": hr, "lr": jnp.asarray(np.stack(lrs)), "fv": hr,
+            "mk": jnp.asarray(np.stack(mks))}
+
+
+def save_params(params, path: str) -> None:
+    import flax
+    import jax
+
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    np.savez_compressed(path, **{k: np.asarray(jax.device_get(v)) for k, v in flat.items()})
+
+
+def load_params(path: str):
+    import flax
+
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    return flax.traverse_util.unflatten_dict(flat, sep="/")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=2000)
+    p.add_argument("--b", type=int, default=2)
+    p.add_argument("--t", type=int, default=5)
+    p.add_argument("--gt", type=int, default=160)
+    p.add_argument("--mid", type=int, default=16)
+    p.add_argument("--variant", default="v18")
+    p.add_argument("--dcn_window", type=int, default=8)
+    p.add_argument("--dcn_window_hr", type=int, default=32)
+    p.add_argument("--flow_freeze", type=int, default=300)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--pool", type=int, default=48)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save", default="checkpoints/v18_mid16_procedural.npz")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--no_cache", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if not args.no_cache:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", "..", ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import jax.numpy as jnp
+
+    from crfp_tpu.bench.profile import force_sync
+    from crfp_tpu.models import CRFP, ModelConfig
+    from crfp_tpu.train import TrainConfig, create_train_state, make_train_step
+
+    cfg = ModelConfig(variant=args.variant, mid_channels=args.mid,
+                      dcn_window=args.dcn_window, dcn_window_hr=args.dcn_window_hr,
+                      remat=True)
+    model = CRFP(cfg)
+    tcfg = TrainConfig(lr_rate=args.lr, flow_freeze_iters=args.flow_freeze,
+                       periods=(max(args.iters, 1),))
+
+    rng = np.random.default_rng(args.seed)
+    print(f"generating {args.pool} procedural clips (t={args.t}, GT={args.gt})...",
+          flush=True)
+    clips = make_clip_pool(args.pool, args.t, args.gt, args.seed)
+    batch = make_batch(clips, args.b, args.t, args.gt, rng)
+
+    state = create_train_state(model, jax.random.PRNGKey(args.seed),
+                               {k: v[:1] for k, v in batch.items()}, tcfg)
+    train_step = make_train_step(model, tcfg)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"{n_params/1e6:.2f}M params; compiling train step...", flush=True)
+
+    t0 = time.perf_counter()
+    state, metrics = train_step(state, batch)
+    force_sync(metrics["loss"])
+    print(f"compiled+step0 in {time.perf_counter()-t0:.1f}s", flush=True)
+
+    os.makedirs(os.path.dirname(args.save) or ".", exist_ok=True)
+    curve = []
+    t_run = time.perf_counter()
+    for it in range(1, args.iters):
+        batch = make_batch(clips, args.b, args.t, args.gt, rng)
+        state, metrics = train_step(state, batch)
+        if it % 100 == 0 or it == args.iters - 1:
+            loss = float(metrics["loss"])
+            psnr = float(metrics.get("psnr", jnp.nan))
+            dt = (time.perf_counter() - t_run) / it
+            curve.append({"iter": it, "loss": loss, "psnr": psnr})
+            print(f"iter {it:5d}  loss {loss:.5f}  psnr {psnr:.2f}  "
+                  f"{dt*1e3:.0f} ms/it", flush=True)
+        if it % 500 == 0:
+            # periodic checkpoint so a killed run still yields a model
+            save_params(jax.device_get(state.params), args.save)
+
+    os.makedirs(os.path.dirname(args.save) or ".", exist_ok=True)
+    save_params(jax.device_get(state.params), args.save)
+    with open(args.save.replace(".npz", "_curve.json"), "w") as f:
+        json.dump({"config": vars(args), "curve": curve}, f, indent=1)
+    print(f"saved {args.save}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -179,7 +179,217 @@ def golden_config2(t=5, h=16, w=24, mid=16, seed=0):
     return {"torch": zones(sr_t, "torch"), "jax": zones(sr_j, "jax")}
 
 
+# ------- config 3: sigma-sweep 4-zone streaming eval (test_video.py) -------
+
+
+def golden_config3(t=6, h=16, w=24, mid=16, seed=0, sigmas=(10.0, 50.0, 100.0)):
+    """The reference demo protocol (/root/reference/test_video.py:149,
+    309-379, 543-546): per-frame gaussian gaze, 4 metric zones (whole /
+    fovea / outskirt / past = union of last 3 outskirts), sigma sweep.
+    Zone masks are built once (crfp_tpu.eval.zones — itself oracle-tested
+    against the reference recipe) and each stack scores with ITS OWN
+    masked metrics."""
+    from test_full_parity import TorchCRFP_DSV
+
+    import jax.numpy as jnp
+
+    from crfp_tpu.eval.zones import zone_masks_step
+    from crfp_tpu.models import CRFP, ModelConfig
+    from crfp_tpu.ops.metrics import masked_psnr, masked_ssim
+    from crfp_tpu.tools.convert_torch import convert_state_dict
+
+    torch.manual_seed(seed)
+    tm = TorchCRFP_DSV(mid=mid)
+    params = convert_state_dict(tm.state_dict())
+    model = CRFP(ModelConfig(variant="v18", mid_channels=mid))
+
+    lrs, gts = translating_clip(t=t, h=h, w=w, seed=seed)
+    hh, ww = h * 8, w * 8
+    fv = 64
+
+    out = {}
+    for sigma in sigmas:
+        rng = np.random.default_rng(seed)
+        zones_t = []
+        mks = np.zeros((t, hh, ww, 1), np.float32)
+        for i in range(t):
+            gy = float(np.clip(sigma * rng.standard_normal() + hh / 2, fv / 2, hh - fv / 2))
+            gx = float(np.clip(sigma * rng.standard_normal() + ww / 2, fv / 2, ww - fv / 2))
+            zm = zone_masks_step(hh, ww, (gy, gx), fv)
+            zones_t.append(zm)
+            mks[i] = zm.mask
+        fvs = gts * mks
+
+        with torch.no_grad():
+            sr_t = tm(
+                torch.from_numpy(lrs[None]).permute(0, 1, 4, 2, 3),
+                torch.from_numpy(fvs[None]).permute(0, 1, 4, 2, 3),
+                torch.from_numpy(mks[None]).permute(0, 1, 4, 2, 3),
+            )[0].permute(0, 2, 3, 1).numpy()
+        sr_j = np.asarray(model.apply(params, lrs[None], fvs[None], mks[None]))[0]
+
+        # per-frame zone masks -> stacked (t, H, W, 1); 'past' = union of
+        # the previous 3 outskirts (test_video.py:371-379)
+        zmask = {"whole": np.ones((t, hh, ww, 1), np.float32), "fovea": mks}
+        zmask["outskirt"] = np.stack([z.outskirt for z in zones_t])
+        past = np.zeros_like(mks)
+        for i in range(t):
+            for k in range(max(0, i - 3), i):
+                past[i] = np.maximum(past[i], zones_t[k].outskirt)
+        zmask["past"] = past
+
+        rows = {}
+        for zone, m in zmask.items():
+            if float(m.sum()) == 0.0:
+                continue
+            st = torch.from_numpy(sr_t).permute(0, 3, 1, 2)
+            gt_t = torch.from_numpy(gts).permute(0, 3, 1, 2)
+            mt = torch.from_numpy(m).permute(0, 3, 1, 2)
+            tp = torch_masked_psnr(st, gt_t, mt)
+            ts = torch_masked_ssim(st, gt_t, mt)
+            jp = float(masked_psnr(jnp.asarray(sr_j), jnp.asarray(gts), jnp.asarray(m)))
+            js = float(masked_ssim(jnp.asarray(sr_j), jnp.asarray(gts), jnp.asarray(m)))
+            rows[zone] = (tp, jp, ts, js)
+        out[sigma] = rows
+    return out
+
+
+# ------- config 4: paired short-training golden (trainer recipe) -------
+
+
+def golden_config4(steps=5, t=3, h=16, w=24, mid=16, seed=0):
+    """Train the torch mirror and crfp_tpu from IDENTICAL weights on
+    IDENTICAL batches for a few optimizer steps with the reference recipe
+    (two-group Adam eps 1e-12, trunk 2e-4 / flow 2.5e-5, Charbonnier
+    eps 1e-12 — /root/reference/trainer.py:131-149, loss/loss.py:116-124)
+    and compare the loss trajectories."""
+    from test_full_parity import TorchCRFP_DSV
+
+    import jax
+    import jax.numpy as jnp
+
+    from crfp_tpu.models import CRFP, ModelConfig
+    from crfp_tpu.tools.convert_torch import convert_state_dict
+    from crfp_tpu.train import TrainConfig, make_train_step
+    from crfp_tpu.train.loop import TrainState
+
+    torch.manual_seed(seed)
+    tm = TorchCRFP_DSV(mid=mid)
+    params = convert_state_dict(tm.state_dict())
+
+    batches = []
+    for k in range(steps):
+        lrs, gts = translating_clip(t=t, h=h, w=w, seed=seed + 10 * k)
+        rng = np.random.default_rng(seed + k)
+        mks = gaze_fovea(rng, t, h * 8, w * 8, fv=64, sigma=10.0)
+        batches.append({"lr": lrs[None], "hr": gts[None],
+                        "fv": (gts * mks)[None], "mk": mks[None]})
+
+    # torch side
+    flow_p = [p for n, p in tm.named_parameters() if "spynet" in n]
+    trunk_p = [p for n, p in tm.named_parameters() if "spynet" not in n]
+    opt = torch.optim.Adam(
+        [{"params": trunk_p, "lr": 2e-4}, {"params": flow_p, "lr": 2.5e-5}],
+        betas=(0.9, 0.999), eps=1e-12,
+    )
+    t_losses = []
+    for b in batches:
+        opt.zero_grad()
+        sr = tm(
+            torch.from_numpy(b["lr"]).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(b["fv"]).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(b["mk"]).permute(0, 1, 4, 2, 3),
+        )
+        hr = torch.from_numpy(b["hr"]).permute(0, 1, 4, 2, 3)
+        loss = torch.sqrt((sr - hr) ** 2 + 1e-12).mean()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss))
+
+    # jax side (flow group unfrozen to mirror the torch run)
+    model = CRFP(ModelConfig(variant="v18", mid_channels=mid))
+    tcfg = TrainConfig(flow_freeze_iters=0)
+    from crfp_tpu.train.loop import make_optimizer
+
+    tx = make_optimizer(tcfg)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), tx=tx)
+    step_fn = make_train_step(model, tcfg)
+    j_losses = []
+    for b in batches:
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        state, metrics = step_fn(state, jb)
+        j_losses.append(float(metrics["loss"]))
+    return {"torch": t_losses, "jax": j_losses}
+
+
+# ------- config 5: runtime (warp_size ROI) protocol pair -------
+
+
+def golden_config5(t=5, h=24, w=40, mid=16, warp=(128, 128), fv=48, seed=0):
+    """The reference latency-harness model (MRCF_simple_v18,
+    /root/reference/test_runtime.py:142-186 protocol at reduced size):
+    torch mirror vs CRFPRuntimeV18 under converted weights, scored per
+    stack against GT plus cross-stack agreement."""
+    from runtime_mirror import TorchRuntimeV18
+
+    import jax.numpy as jnp
+
+    from crfp_tpu.models.crfp import ModelConfig
+    from crfp_tpu.models.runtime import CRFPRuntimeV18
+    from crfp_tpu.ops.metrics import masked_psnr, masked_ssim
+    from crfp_tpu.tools.convert_torch import convert_state_dict
+
+    torch.manual_seed(seed)
+    tm = TorchRuntimeV18(mid)
+    params = convert_state_dict(tm.state_dict())
+
+    lrs, gts = translating_clip(t=t, h=h, w=w, seed=seed)
+    fvs = gts[:, :fv, :fv]  # top-left corner patch (runtime protocol)
+
+    with torch.no_grad():
+        sr_t = tm(
+            torch.from_numpy(lrs[None]).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(fvs[None]).permute(0, 1, 4, 2, 3),
+            warp,
+        )[0].permute(0, 2, 3, 1).numpy()
+
+    model = CRFPRuntimeV18(ModelConfig(variant="v18", mid_channels=mid),
+                           warp_size=warp)
+    outs = []
+    state = None
+    for i in range(t):
+        lr_i = jnp.asarray(lrs[i : i + 1])
+        fv_i = jnp.asarray(fvs[i : i + 1])
+        x_lr, x_hr = model.apply(params, lr_i, fv_i, method=CRFPRuntimeV18.encode)
+        if i == 0:
+            state, out = model.apply(params, lr_i, x_lr, x_hr,
+                                     method=CRFPRuntimeV18.step0)
+        else:
+            state, out = model.apply(params, state, lr_i,
+                                     jnp.asarray(lrs[i - 1 : i]), x_lr, x_hr,
+                                     method=CRFPRuntimeV18.step)
+        outs.append(np.asarray(out)[0])
+    sr_j = np.stack(outs)
+
+    agree = float(-10.0 * np.log10(np.mean((sr_t - sr_j) ** 2) + 1e-20))
+    ones = torch.ones_like(torch.from_numpy(sr_t[:, :, :, :1]).permute(0, 3, 1, 2))
+    tp = torch_masked_psnr(torch.from_numpy(sr_t).permute(0, 3, 1, 2),
+                           torch.from_numpy(gts).permute(0, 3, 1, 2), ones)
+    ts = torch_masked_ssim(torch.from_numpy(sr_t).permute(0, 3, 1, 2),
+                           torch.from_numpy(gts).permute(0, 3, 1, 2), ones)
+    m = np.ones_like(sr_j[..., :1])
+    jp = float(masked_psnr(jnp.asarray(sr_j), jnp.asarray(gts), jnp.asarray(m)))
+    js = float(masked_ssim(jnp.asarray(sr_j), jnp.asarray(gts), jnp.asarray(m)))
+    return {"agree_db": agree, "torch": (tp, ts), "jax": (jp, js)}
+
+
 def main():
+    # goldens are minted on CPU for bit-reproducibility (the axon
+    # sitecustomize would otherwise route jax to the TPU)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     print("# GOLDEN — paired torch-mirror vs crfp_tpu numbers (procedural data)")
     print()
     print("Minted by tests/mint_golden.py (see its docstring). Budget:")
@@ -208,6 +418,36 @@ def main():
         print(f"| {zone} | {tp:.4f} | {jp:.4f} | {ts:.6f} | {js:.6f} |")
     d2 = max(abs(c2["torch"][z][0] - c2["jax"][z][0]) for z in ("whole", "fovea"))
     print(f"\nmax |dPSNR| = {d2:.4f} dB")
+    print()
+    c3 = golden_config3()
+    print("## Config 3 — v18 streaming 4-zone eval, sigma sweep (test_video.py)")
+    print()
+    print("| sigma | zone | torch PSNR | jax PSNR | torch SSIM | jax SSIM |")
+    print("|---|---|---|---|---|---|")
+    d3 = 0.0
+    for sigma, rows in c3.items():
+        for zone, (tp, jp, ts, js) in rows.items():
+            print(f"| {sigma:.0f} | {zone} | {tp:.4f} | {jp:.4f} | {ts:.6f} | {js:.6f} |")
+            d3 = max(d3, abs(tp - jp))
+    print(f"\nmax |dPSNR| = {d3:.4f} dB")
+    print()
+    c4 = golden_config4()
+    print("## Config 4 — paired 5-step training run (reference recipe)")
+    print()
+    print("| step | torch loss | jax loss | rel diff |")
+    print("|---|---|---|---|")
+    for i, (tl, jl) in enumerate(zip(c4["torch"], c4["jax"])):
+        print(f"| {i} | {tl:.6f} | {jl:.6f} | {abs(tl-jl)/tl:.2e} |")
+    print()
+    c5 = golden_config5()
+    print("## Config 5 — runtime (warp_size ROI) protocol pair")
+    print()
+    print("| stack | PSNR vs GT | SSIM vs GT |")
+    print("|---|---|---|")
+    print(f"| torch mirror | {c5['torch'][0]:.4f} | {c5['torch'][1]:.6f} |")
+    print(f"| crfp_tpu | {c5['jax'][0]:.4f} | {c5['jax'][1]:.6f} |")
+    print(f"\ncross-stack output agreement: {c5['agree_db']:.1f} dB; "
+          f"|dPSNR| = {abs(c5['torch'][0]-c5['jax'][0]):.4f} dB")
 
 
 if __name__ == "__main__":
