@@ -92,6 +92,14 @@ class ModelConfig:
     # 1-6 so TPU HBM tile padding stops inflating every HR pass ~32x
     # (docs/PERF.md). Supported for the v13/v15/v18 trunks (hr_dcn=True).
     hr_s2d: bool = False
+    # run the 1/4-res lv3 trunk (upsample, DCN stages 0-2, resblocks 0-2,
+    # the lv level states and their warps) in space-to-depth(2) layout:
+    # C=32-72 pads 2-4x in HBM tiles at the native grid; s2d(2) fills the
+    # lanes (docs/PERF.md round-3 lever 1). Numerically exact, same
+    # parameters. Requires hr_s2d (the lv3/HR boundaries fold into the
+    # existing s2d machinery) and dcn_window (the windowed kernel takes
+    # s2d operands directly; the exact gather path would round-trip).
+    lv3_s2d: bool = False
 
     @property
     def last_channels(self) -> int:
@@ -124,6 +132,10 @@ class CRFP(nn.Module):
             assert cfg.variant in ("v13", "v15", "v18"), (
                 "hr_s2d is implemented for the v13/v15/v18 trunks")
             assert cfg.hr_dcn, "hr_s2d requires the HR-level cascade (hr_dcn)"
+        if cfg.lv3_s2d:
+            assert cfg.hr_s2d, "lv3_s2d builds on the hr_s2d tail"
+            assert cfg.dcn_window is not None, (
+                "lv3_s2d requires the windowed DCN (s2d kernel operands)")
         if cfg.variant in ("no_dcn", "basic_fvsr"):
             # the reference's hr_dcn=True branches of these models reference
             # undefined locals (CRFP.py:1895-1938, 2245-2247) — only the
@@ -140,16 +152,18 @@ class CRFP(nn.Module):
             self.dcn_2 = PlainAlign(m)
             self.dcn_3 = PlainAlign(m)
         else:
-            self.dcn_0 = DCNAlign(m, dg, dk, mag, window=cfg.dcn_window)
+            t2 = dict(s2d=cfg.lv3_s2d, s2d_r=2)  # lv3 trunk stages
+            self.dcn_0 = DCNAlign(m, dg, dk, mag, window=cfg.dcn_window, **t2)
             self.dcn_1 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
-                                  window=cfg.dcn_window)
+                                  window=cfg.dcn_window, **t2)
             self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
-                                  window=cfg.dcn_window)
+                                  window=cfg.dcn_window, **t2)
             if cfg.hr_dcn:
                 self.dcn_3 = DCNAlign(
                     last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
                     interpolate="pixelshuffle", window=cfg.dcn_window_hr,
                     s2d=cfg.hr_s2d,
+                    pre_offset_s2d=2 if cfg.lv3_s2d else 1,
                 )
             else:
                 self.dcn_3 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
@@ -172,9 +186,10 @@ class CRFP(nn.Module):
             else:
                 self.conv_tttf = Conv(last, name="conv_tttf")
 
-        self.forward_resblocks_0 = ResidualBlocksWithInputConv(m, 1)
-        self.forward_resblocks_1 = ResidualBlocksWithInputConv(m, 1)
-        self.forward_resblocks_2 = ResidualBlocksWithInputConv(m, 1)
+        rb2 = dict(s2d=cfg.lv3_s2d, s2d_r=2)
+        self.forward_resblocks_0 = ResidualBlocksWithInputConv(m, 1, **rb2)
+        self.forward_resblocks_1 = ResidualBlocksWithInputConv(m, 1, **rb2)
+        self.forward_resblocks_2 = ResidualBlocksWithInputConv(m, 1, **rb2)
         self.forward_resblocks_3 = ResidualBlocksWithInputConv(
             last if cfg.hr_dcn else m, 1, s2d=cfg.hr_s2d)
 
@@ -236,9 +251,15 @@ class CRFP(nn.Module):
             }
         if cfg.is_dsv:
             sc = cfg.state_channels
-            state["lv"] = tuple(
-                jnp.zeros((batch, h * 2, w * 2, sc), dtype) for _ in range(3)
-            )
+            if cfg.lv3_s2d:
+                # lv level states live in s2d(2) layout of (2h, 2w, sc)
+                state["lv"] = tuple(
+                    jnp.zeros((batch, h, w, sc * 4), dtype) for _ in range(3)
+                )
+            else:
+                state["lv"] = tuple(
+                    jnp.zeros((batch, h * 2, w * 2, sc), dtype) for _ in range(3)
+                )
         return state
 
     def _base(self, lr: jax.Array) -> jax.Array:
@@ -292,12 +313,17 @@ class CRFP(nn.Module):
         cfg = self.cfg
         n, h, w, _ = lr.shape
         m, last = cfg.mid_channels, cfg.last_channels
-        z_lv3 = jnp.zeros((n, h * 2, w * 2, m), lr.dtype)
+        if cfg.lv3_s2d:
+            z_lv3 = jnp.zeros((n, h, w, m * 4), lr.dtype)
+        else:
+            z_lv3 = jnp.zeros((n, h * 2, w * 2, m), lr.dtype)
         if cfg.hr_s2d:
             z_hr = jnp.zeros((n, h * 2, w * 2, last * 16), lr.dtype)
         else:
             z_hr = jnp.zeros((n, h * cfg.scale, w * cfg.scale, last), lr.dtype)
-        feat_prop_lv0 = self.upsample(x_lr)
+        # with lv3_s2d the conv output (h, w, up_ch*4) IS the s2d(2) trunk
+        # layout of the 2x-upsampled feature
+        feat_prop_lv0 = self.upsample(x_lr, keep_depth=cfg.lv3_s2d)
 
         if cfg.variant == "basic_fvsr":
             mk_lv2 = resize_bilinear(mk.astype(lr.dtype), (h * 2, w * 2))
@@ -321,7 +347,10 @@ class CRFP(nn.Module):
             else:
                 x_hr_lv3 = x_hr
             sc = cfg.state_channels
-            z_lv = jnp.zeros((n, h * 2, w * 2, sc), lr.dtype)
+            if cfg.lv3_s2d:
+                z_lv = jnp.zeros((n, h, w, sc * 4), lr.dtype)
+            else:
+                z_lv = jnp.zeros((n, h * 2, w * 2, sc), lr.dtype)
             x, lvs = feat_prop_lv0, []
             for idx, rb in enumerate((self.forward_resblocks_0, self.forward_resblocks_1,
                                       self.forward_resblocks_2)):
@@ -330,7 +359,8 @@ class CRFP(nn.Module):
                     x = self._cra_blend(x, (x_hr_lv0, x_hr_lv1, x_hr_lv2)[idx], mk_lv2, idx)
                 x, carry = self._dsv_chunk(x)
                 lvs.append(carry)
-            x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
+            x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d,
+                                         in_s2d=2 if cfg.lv3_s2d else 1))
             y = self.forward_resblocks_3(jnp.concatenate([x, z_hr], axis=-1))
             y, out = self._reconstruct(y, x_hr_lv3, mk, lr)
             return {"hr": y, "lv": tuple(lvs)}, out
@@ -341,7 +371,8 @@ class CRFP(nn.Module):
         for rb in (self.forward_resblocks_0, self.forward_resblocks_1, self.forward_resblocks_2):
             x = rb(jnp.concatenate([x] + [z_lv3] * (reps - 1), axis=-1))
         if cfg.hr_dcn:
-            x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
+            x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d,
+                                         in_s2d=2 if cfg.lv3_s2d else 1))
             y = self.forward_resblocks_3(jnp.concatenate([x] + [z_hr] * (reps - 1), axis=-1))
         else:
             y = self.forward_resblocks_3(jnp.concatenate([x] + [z_lv3] * (reps - 1), axis=-1))
@@ -357,13 +388,19 @@ class CRFP(nn.Module):
         """
         cfg = self.cfg
         n, h, w, _ = lr.shape
-        feat_prop_lv0 = self.upsample(x_lr)
+        feat_prop_lv0 = self.upsample(x_lr, keep_depth=cfg.lv3_s2d)
         flow_lv3 = upsample(flow, 2) * 2.0
+        if cfg.lv3_s2d:
+            # the whole 1/4-res trunk runs in s2d(2); its flow operand is
+            # the c-major pixel_unshuffle of the (dx, dy) field
+            flow_lv3 = pixel_unshuffle(flow_lv3, 2)
 
         fg_lv3 = fg_lv0 = None
         if fg is not None:
             fg_lv3 = fg.astype(lr.dtype)
             fg_lv0 = resize_bilinear(fg_lv3, (fg.shape[1] // 4, fg.shape[2] // 4))
+            if cfg.lv3_s2d:
+                fg_lv0 = pixel_unshuffle(fg_lv0, 2)  # (n,h,w,4), tile at use
 
         if cfg.variant == "basic_fvsr":
             mk_lv2 = resize_bilinear(mk.astype(lr.dtype), (h * 2, w * 2))
@@ -408,7 +445,8 @@ class CRFP(nn.Module):
                 # relayout into their prep/post transposes, so no
                 # pixel_shuffle round trips are materialized
                 flow_s2d = pixel_unshuffle(flow_lv0, 4)
-                lv3_state = self.downsample(hr_state, pre_shuffled=True)
+                lv3_state = self.downsample(hr_state, pre_shuffled=True,
+                                            out_s2d=2 if cfg.lv3_s2d else 1)
                 hr_warped = self._warp_hr_s2d(hr_state, flow_s2d)
             else:
                 lv3_state = self.downsample(hr_state)
@@ -416,13 +454,23 @@ class CRFP(nn.Module):
             # the 1/4-res state warps share the trunk DCN's displacement
             # budget: with dcn_window set they ride the windowed kernel
             # instead of XLA gathers (docs/PERF.md)
-            from crfp_tpu.ops.pallas.warp import flow_warp_maybe_windowed
+            from crfp_tpu.ops.pallas.warp import (
+                flow_warp_maybe_windowed,
+                flow_warp_maybe_windowed_s2d,
+            )
 
-            lv3_warped = flow_warp_maybe_windowed(
-                lv3_state, flow_lv3, cfg.dcn_window)
+            if cfg.lv3_s2d:
+                # everything (states, flow) is s2d(2); c-major concat of
+                # s2d tensors IS the s2d of the concat, so the 3-state
+                # bundle warps in one kernel call exactly as natively
+                warp_lv3 = lambda a: flow_warp_maybe_windowed_s2d(  # noqa: E731
+                    a, flow_lv3, cfg.dcn_window, r=2)
+            else:
+                warp_lv3 = lambda a: flow_warp_maybe_windowed(  # noqa: E731
+                    a, flow_lv3, cfg.dcn_window)
+            lv3_warped = warp_lv3(lv3_state)
             f0, f1, f2 = state["lv"]
-            mixed = flow_warp_maybe_windowed(
-                jnp.concatenate([f0, f1, f2], axis=-1), flow_lv3, cfg.dcn_window)
+            mixed = warp_lv3(jnp.concatenate([f0, f1, f2], axis=-1))
             f0, f1, f2 = jnp.split(mixed, 3, axis=-1)
 
             offset = None
@@ -440,14 +488,18 @@ class CRFP(nn.Module):
                 offset = offset_feat
                 x = jnp.concatenate([x, aligned], axis=-1)
                 if fg_lv0 is not None and idx > 0:
-                    x = x * fg_lv0
+                    if cfg.lv3_s2d:
+                        x = x * jnp.tile(fg_lv0, (1, 1, 1, x.shape[-1] // 4))
+                    else:
+                        x = x * fg_lv0
                 x = rb(x)
                 if cra:
                     x = self._cra_blend(x, (x_hr_lv0, x_hr_lv1, x_hr_lv2)[idx], mk_lv2, idx)
                 x, carry = self._dsv_chunk(x)
                 lvs.append(carry)
 
-            x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
+            x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d,
+                                         in_s2d=2 if cfg.lv3_s2d else 1))
             if cfg.hr_s2d:
                 # every dcn_3 operand (incl. the sampled state) is s2d
                 aligned, _ = self.dcn_3(x, hr_state, hr_warped, flow_s2d,
@@ -493,10 +545,13 @@ class CRFP(nn.Module):
         if cfg.hr_dcn:
             if cfg.hr_s2d:
                 # state lives in s2d(4), exactly as in the DSV branch above
+                o2 = 2 if cfg.lv3_s2d else 1
                 flow_s2d = pixel_unshuffle(flow_lv0, 4)
                 hr_warped = self._warp_hr_s2d(hr_state, flow_s2d)
-                lv3_warped = self.downsample(hr_warped, pre_shuffled=True)
-                lv3_state = self.downsample(hr_state, pre_shuffled=True)
+                lv3_warped = self.downsample(hr_warped, pre_shuffled=True,
+                                             out_s2d=o2)
+                lv3_state = self.downsample(hr_state, pre_shuffled=True,
+                                            out_s2d=o2)
             else:
                 hr_warped = self._warp_hr(hr_state, flow_lv0)
                 lv3_warped = self.downsample(hr_warped)
@@ -519,11 +574,15 @@ class CRFP(nn.Module):
             parts = [x, aligned] + ([lv3_warped] if three_way else [])
             x = jnp.concatenate(parts, axis=-1)
             if fg_lv0 is not None and idx > 0:
-                x = x * fg_lv0
+                if cfg.lv3_s2d:
+                    x = x * jnp.tile(fg_lv0, (1, 1, 1, x.shape[-1] // 4))
+                else:
+                    x = x * fg_lv0
             x = rb(x)
 
         if cfg.hr_dcn:
-            x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
+            x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d,
+                                         in_s2d=2 if cfg.lv3_s2d else 1))
             if cfg.hr_s2d:
                 aligned, _ = self.dcn_3(x, hr_state, hr_warped, flow_s2d,
                                         offset if cfg.offset_prop else None)

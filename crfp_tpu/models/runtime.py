@@ -54,10 +54,14 @@ class ResidualBlocksWithInputConvV2(nn.Module):
     out_channels: int
     num_blocks: int = 1
     s2d: bool = False
+    s2d_r: int = 4
 
     @nn.compact
     def __call__(self, feat_roi: jax.Array, feat_full: jax.Array | None = None) -> jax.Array:
-        conv_cls = ConvS2D if self.s2d else Conv
+        if self.s2d:
+            conv_cls = lambda feats, **kw: ConvS2D(feats, r=self.s2d_r, **kw)  # noqa: E731
+        else:
+            conv_cls = Conv
         o1 = conv_cls(self.out_channels, name="conv1")(feat_roi)
         if feat_full is not None and feat_full.shape[1:3] != feat_roi.shape[1:3]:
             full = conv_cls(self.out_channels, name="conv2")(feat_full)
@@ -68,7 +72,8 @@ class ResidualBlocksWithInputConvV2(nn.Module):
             x = o1
         x = lrelu(x)
         for i in range(self.num_blocks):
-            x = ResidualBlockNoBN(self.out_channels, s2d=self.s2d, name=f"block{i}")(x)
+            x = ResidualBlockNoBN(self.out_channels, s2d=self.s2d, s2d_r=self.s2d_r,
+                                  name=f"block{i}")(x)
         return x
 
 
@@ -82,17 +87,23 @@ class CRFPRuntimeV18(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        if cfg.lv3_s2d:
+            assert cfg.hr_s2d and cfg.dcn_window is not None
+            assert all(v % 8 == 0 for v in self.warp_size), (
+                "lv3_s2d ROI crops must be s2d(2)-block-aligned at 1/4 res")
         m, last = cfg.mid_channels, cfg.last_channels
         dg, dk, mag = cfg.deform_groups, cfg.dcn_kernel, cfg.max_residue_magnitude
         self.spynet = FNet()
-        self.dcn_0 = DCNAlign(m, dg, dk, mag, window=cfg.dcn_window)
+        t2 = dict(s2d=cfg.lv3_s2d, s2d_r=2)  # 1/4-res trunk stages
+        self.dcn_0 = DCNAlign(m, dg, dk, mag, window=cfg.dcn_window, **t2)
         self.dcn_1 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
-                              window=cfg.dcn_window)
+                              window=cfg.dcn_window, **t2)
         self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
-                              window=cfg.dcn_window)
+                              window=cfg.dcn_window, **t2)
         self.dcn_3 = DCNAlign(last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
                               interpolate="pixelshuffle", window=cfg.dcn_window_hr,
-                              s2d=cfg.hr_s2d)
+                              s2d=cfg.hr_s2d,
+                              pre_offset_s2d=2 if cfg.lv3_s2d else 1)
         self.encoder_lr = LTESimpleLR(m)
         self.encoder_hr = LTESimpleHRSingle(last)
         s2 = cfg.hr_s2d
@@ -107,9 +118,10 @@ class CRFPRuntimeV18(nn.Module):
         self.forward_resblocks_1_ = ResidualBlocksWithInputConv(m, 1)
         self.forward_resblocks_2_ = ResidualBlocksWithInputConv(m, 1)
         self.forward_resblocks_3_ = ResidualBlocksWithInputConv(last, 1, s2d=s2)
-        self.forward_resblocks_0 = ResidualBlocksWithInputConvV2(m, 1)
-        self.forward_resblocks_1 = ResidualBlocksWithInputConvV2(m, 1)
-        self.forward_resblocks_2 = ResidualBlocksWithInputConvV2(m, 1)
+        rb2 = dict(s2d=cfg.lv3_s2d, s2d_r=2)
+        self.forward_resblocks_0 = ResidualBlocksWithInputConvV2(m, 1, **rb2)
+        self.forward_resblocks_1 = ResidualBlocksWithInputConvV2(m, 1, **rb2)
+        self.forward_resblocks_2 = ResidualBlocksWithInputConvV2(m, 1, **rb2)
         self.forward_resblocks_3 = ResidualBlocksWithInputConvV2(last, 1, s2d=s2)
         self.downsample = PixelUnShufflePackV2(m, 4, 3)
         self.upsample = PixelShufflePack(cfg.keep_channels, 2, 3)
@@ -142,9 +154,13 @@ class CRFPRuntimeV18(nn.Module):
                    self.forward_resblocks_2_):
             full = rb(x)
             chunks = jnp.split(full, 4, axis=-1)
-            lvs.append(
-                jnp.concatenate(chunks[sr:], axis=-1)[:, : wph // 4, : wpw // 4]
-            )
+            lv = jnp.concatenate(chunks[sr:], axis=-1)[:, : wph // 4, : wpw // 4]
+            if cfg.lv3_s2d:
+                # steady state runs the 1/4-res trunk in s2d(2); the cold
+                # start stays native (one frame per clip) and hands over
+                # s2d-layout states
+                lv = pixel_unshuffle(lv, 2)
+            lvs.append(lv)
             x = jnp.concatenate(chunks[:sr], axis=-1)
         x = lrelu(self.upsample_post(x, keep_depth=cfg.hr_s2d))
         lv3 = self.forward_resblocks_3_(x)
@@ -157,10 +173,14 @@ class CRFPRuntimeV18(nn.Module):
         wph, wpw = self.warp_size
         sr = cfg.split_ratio
         flow = self.compute_flow(lr, pre_lr)
-        feat_prop_lv0 = self.upsample(x_lr)  # keep_ch @ 2h x 2w (full frame)
+        # with lv3_s2d the conv output (h, w, keep*4) IS the s2d(2) layout
+        # of the 2x-upsampled full-frame feature
+        feat_prop_lv0 = self.upsample(x_lr, keep_depth=cfg.lv3_s2d)
 
         flow_lv3 = upsample(flow, 2) * 2.0
         flow_lv0 = upsample(flow, cfg.scale) * float(cfg.scale)
+        if cfg.lv3_s2d:
+            flow_lv3 = pixel_unshuffle(flow_lv3, 2)
 
         hr_state = state["hr"]  # last @ ROI (s2d layout when cfg.hr_s2d)
         from crfp_tpu.ops.pallas.warp import (
@@ -174,8 +194,9 @@ class CRFPRuntimeV18(nn.Module):
             flow_s2d = pixel_unshuffle(flow_lv0, 4)
             hr_warped = flow_warp_maybe_windowed_s2d(
                 hr_state, flow_s2d, cfg.dcn_window_hr)
-            lv3_warped = self.downsample(hr_warped, pre_shuffled=True)
-            lv3_state = self.downsample(hr_state, pre_shuffled=True)
+            o2 = 2 if cfg.lv3_s2d else 1
+            lv3_warped = self.downsample(hr_warped, pre_shuffled=True, out_s2d=o2)
+            lv3_state = self.downsample(hr_state, pre_shuffled=True, out_s2d=o2)
         else:
             hr_warped = flow_warp_maybe_windowed(
                 hr_state, flow_lv0, cfg.dcn_window_hr)
@@ -183,11 +204,19 @@ class CRFPRuntimeV18(nn.Module):
             lv3_state = self.downsample(hr_state)
         f0, f1, f2 = state["lv"]
         # shares the trunk DCN's displacement budget (docs/PERF.md)
-        mixed = flow_warp_maybe_windowed(
-            jnp.concatenate([f0, f1, f2], axis=-1), flow_lv3, cfg.dcn_window)
+        if cfg.lv3_s2d:
+            mixed = flow_warp_maybe_windowed_s2d(
+                jnp.concatenate([f0, f1, f2], axis=-1), flow_lv3,
+                cfg.dcn_window, r=2)
+        else:
+            mixed = flow_warp_maybe_windowed(
+                jnp.concatenate([f0, f1, f2], axis=-1), flow_lv3, cfg.dcn_window)
         f0, f1, f2 = jnp.split(mixed, 3, axis=-1)
 
-        roi_lv0 = feat_prop_lv0[:, : wph // 4, : wpw // 4]
+        if cfg.lv3_s2d:
+            roi_lv0 = feat_prop_lv0[:, : wph // 8, : wpw // 8]
+        else:
+            roi_lv0 = feat_prop_lv0[:, : wph // 4, : wpw // 4]
         offset = None
         lvs = []
         for dcn, rb, f in (
@@ -203,7 +232,8 @@ class CRFPRuntimeV18(nn.Module):
             chunks = jnp.split(full, 4, axis=-1)
             lvs.append(jnp.concatenate(chunks[sr:], axis=-1))
 
-        full_lv3 = lrelu(self.upsample_post(feat_prop_lv0, keep_depth=cfg.hr_s2d))
+        full_lv3 = lrelu(self.upsample_post(feat_prop_lv0, keep_depth=cfg.hr_s2d,
+                                            in_s2d=2 if cfg.lv3_s2d else 1))
         if cfg.hr_s2d:
             roi = full_lv3[:, : wph // 4, : wpw // 4]
             aligned, _ = self.dcn_3(roi, hr_state, hr_warped, flow_s2d,

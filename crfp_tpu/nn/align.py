@@ -108,13 +108,21 @@ class DCNAlign(nn.Module):
     # when set, use the gather-free windowed DCN (displacements clamped to
     # +-window; docs/PERF.md) instead of the exact gather formulation
     window: int | None = None
-    # repeat mode only: compute the feature block + offset/mask heads in
-    # space-to-depth(4) layout (ConvS2D; numerically exact, same params).
-    # EVERY input (cur_x, pre_x, pre_x_aligned, flow — flow s2d of
-    # (dx, dy)) then arrives in s2d(4) layout and ``aligned`` is returned
-    # in s2d(4): the windowed kernel samples at full resolution but folds
-    # the relayouts into its prep/post transposes (ops/pallas/dcn.py).
+    # compute the feature block + offset/mask heads in space-to-depth(r)
+    # layout (ConvS2D; numerically exact, same params). EVERY input
+    # (cur_x, pre_x, pre_x_aligned, flow — flow s2d of (dx, dy)) then
+    # arrives in s2d(r) layout and ``aligned`` is returned in s2d(r): the
+    # windowed kernel samples at full resolution but folds the relayouts
+    # into its prep/post transposes (ops/pallas/dcn.py). Repeat mode uses
+    # r=4 (the HR dcn_3 tail); non-repeat uses r=2 (the lv3_s2d trunk)
+    # and requires ``window`` (the exact-gather fallback would round-trip
+    # the relayout it exists to avoid).
     s2d: bool = False
+    s2d_r: int = 4
+    # layout of the incoming pre_offset_feat when it differs from this
+    # stage's own (dcn_3 consumes the s2d(2) lv3 trunk's offset feature
+    # through its PixelShufflePack: 1 = native grid, 2 = s2d(2))
+    pre_offset_s2d: int = 1
 
     @nn.compact
     def __call__(
@@ -135,9 +143,15 @@ class DCNAlign(nn.Module):
         k2 = k * k
         if self.repeat:
             assert g == 1, "repeat mode is only well-defined for one deform group"
+        r = self.s2d_r
+        r2 = r * r
+        if self.s2d and not self.repeat:
+            assert self.window is not None, (
+                "non-repeat s2d DCNAlign requires the windowed kernel")
         if self.s2d:
-            assert self.repeat, "s2d DCNAlign is implemented for repeat mode"
-        conv_cls = ConvS2D if self.s2d else Conv
+            conv_cls = lambda feats, **kw: ConvS2D(feats, r=r, **kw)  # noqa: E731
+        else:
+            conv_cls = Conv
 
         feat = jnp.concatenate([cur_x, pre_x_aligned, flow], axis=-1)
         feat = lrelu(conv_cls(m, name="dcn_block_conv1")(feat))
@@ -147,9 +161,12 @@ class DCNAlign(nn.Module):
             assert self.pre_offset
             if self.interpolate == "pixelshuffle":
                 # in s2d mode the PixelShufflePack's conv output IS the
-                # s2d(4) layout of the upsampled feature (keep_depth)
+                # s2d(4) layout of the upsampled feature (keep_depth);
+                # pre_offset_s2d=2 additionally accepts the incoming
+                # feature in the lv3_s2d trunk's s2d(2) layout
                 pre_offset_feat = PixelShufflePack(m, 4, 3, name="upsample")(
-                    pre_offset_feat, keep_depth=self.s2d) * 2.0
+                    pre_offset_feat, keep_depth=self.s2d,
+                    in_s2d=self.pre_offset_s2d) * 2.0
             elif self.interpolate == "bilinear":
                 pre_offset_feat = bilinear_upsample(pre_offset_feat, 4) * 2.0
             feat = lrelu(
@@ -164,26 +181,26 @@ class DCNAlign(nn.Module):
                 # keep EVERYTHING in s2d: offsets/mask stay in phase layout
                 # and the kernel consumes/produces s2d directly (its prep
                 # transposes absorb the relayout). raw s2d channels:
-                # [y x 16 phases | x x 16]; flow s2d: [dx x 16 | dy x 16].
-                off_y = raw[..., :16] + flow[..., 16:32]
-                off_x = raw[..., 16:] + flow[..., :16]
+                # [y x r2 phases | x x r2]; flow s2d: [dx x r2 | dy x r2].
+                off_y = raw[..., :r2] + flow[..., r2:2 * r2]
+                off_x = raw[..., r2:] + flow[..., :r2]
                 off = jnp.stack([off_y, off_x], axis=-2)[:, :, :, None, None]
                 mask = conv_cls(g, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
-                mask = jax.nn.sigmoid(mask)[:, :, :, None, None, :]  # (n,hs,ws,1,1,16)
+                mask = jax.nn.sigmoid(mask)[:, :, :, None, None, :]  # (n,hs,ws,1,1,r2)
                 weight = self.param("dcn_weight", _identity_kernel_init, (k, k, m, m))
                 bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
                 aligned = _windowed_dcn(
                     pre_x, off, mask, weight, bias, self.window,
-                    shared=True, shared_mask=True, s2d=4,
+                    shared=True, shared_mask=True, s2d=r,
                 )
                 return aligned, feat
             if self.s2d:
                 # exact-gather fallback: shuffle up to the full-res layout
                 # (correctness path; the windowed kernel above is the TPU
                 # deployment path)
-                off_y = raw[..., :16] + flow[..., 16:32]
-                off_x = raw[..., 16:] + flow[..., :16]
-                off_hr = pixel_shuffle(jnp.concatenate([off_y, off_x], axis=-1), 4)
+                off_y = raw[..., :r2] + flow[..., r2:2 * r2]
+                off_x = raw[..., r2:] + flow[..., :r2]
+                off_hr = pixel_shuffle(jnp.concatenate([off_y, off_x], axis=-1), r)
                 n, h, w, _ = off_hr.shape
                 off = off_hr.reshape(n, h, w, 1, 2)
             else:
@@ -200,7 +217,7 @@ class DCNAlign(nn.Module):
                 mask = conv_cls(g, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
                 mask = jax.nn.sigmoid(mask)
                 if self.s2d:
-                    mask = pixel_shuffle(mask, 4)
+                    mask = pixel_shuffle(mask, r)
                 mask = mask[:, :, :, :, None]
             weight = self.param("dcn_weight", _identity_kernel_init, (k, k, m, m))
             bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
@@ -214,7 +231,7 @@ class DCNAlign(nn.Module):
             else:
                 # all taps share one offset -> 4x4-patch gather fast path
                 # (deform_conv2d_shared_offset: 16 corner gathers, not 36)
-                pre_full = pixel_shuffle(pre_x, 4) if self.s2d else pre_x
+                pre_full = pixel_shuffle(pre_x, r) if self.s2d else pre_x
                 aligned = deform_conv2d_shared_offset(
                     pre_full, off[:, :, :, 0, :],
                     jnp.broadcast_to(mask, mask.shape[:4] + (k2,))[:, :, :, 0, :],
@@ -223,22 +240,37 @@ class DCNAlign(nn.Module):
                 if self.s2d:
                     from crfp_tpu.ops.shuffle import pixel_unshuffle
 
-                    aligned = pixel_unshuffle(aligned, 4)
+                    aligned = pixel_unshuffle(aligned, r)
             return aligned, feat
         else:
             n, h, w, _ = feat.shape
-            raw = Conv(g * 2 * k2, kernel_init=zero, bias_init=zero, name="dcn_offset")(feat)
+            raw = conv_cls(g * 2 * k2, kernel_init=zero, bias_init=zero,
+                           name="dcn_offset")(feat)
             raw = self.max_residue_magnitude * jnp.tanh(raw)
-            off = raw.reshape(n, h, w, g, k2, 2)
-            off = off.at[..., 0].add(flow[..., 1][..., None, None])
-            off = off.at[..., 1].add(flow[..., 0][..., None, None])
-            mask = Conv(g * k2, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
-            mask = jax.nn.sigmoid(mask).reshape(n, h, w, g, k2)
+            mask = conv_cls(g * k2, kernel_init=zero, bias_init=zero,
+                            name="dcn_mask")(feat)
+            mask = jax.nn.sigmoid(mask)
+            if self.s2d:
+                # ConvS2D output is c-major (channel = c*r^2 + phase), and
+                # the logical channels enumerate (g, k2, 2) exactly as in
+                # the native-grid reshape below, so the kernel's s2d
+                # operand shapes fall straight out. flow s2d channels:
+                # [dx x r2 | dy x r2].
+                off = raw.reshape(n, h, w, g, k2, 2, r2)
+                off = off.at[..., 0, :].add(flow[..., r2:2 * r2][:, :, :, None, None, :])
+                off = off.at[..., 1, :].add(flow[..., :r2][:, :, :, None, None, :])
+                mask = mask.reshape(n, h, w, g, k2, r2)
+            else:
+                off = raw.reshape(n, h, w, g, k2, 2)
+                off = off.at[..., 0].add(flow[..., 1][..., None, None])
+                off = off.at[..., 1].add(flow[..., 0][..., None, None])
+                mask = mask.reshape(n, h, w, g, k2)
 
         weight = self.param("dcn_weight", _identity_kernel_init, (k, k, m, m))
         bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
         if self.window is not None:
-            aligned = _windowed_dcn(pre_x, off, mask, weight, bias, self.window)
+            aligned = _windowed_dcn(pre_x, off, mask, weight, bias, self.window,
+                                    s2d=r if self.s2d else 1)
         else:
             aligned = deform_conv2d(pre_x, off, mask, weight, bias)
         return aligned, feat

@@ -109,11 +109,12 @@ class ResidualBlockNoBN(nn.Module):
     mid_channels: int
     res_scale: float = 1.0
     s2d: bool = False
+    s2d_r: int = 4
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         init = kaiming_normal_fan_in(0.1) if self.res_scale == 1.0 else None
-        conv = (lambda name: ConvS2D(self.mid_channels, kernel_init=init, name=name))             if self.s2d else (lambda name: Conv(self.mid_channels, kernel_init=init, name=name))
+        conv = (lambda name: ConvS2D(self.mid_channels, r=self.s2d_r, kernel_init=init, name=name))             if self.s2d else (lambda name: Conv(self.mid_channels, kernel_init=init, name=name))
         out = conv("conv1")(x)
         out = jax.nn.relu(out)
         out = conv("conv2")(out)
@@ -126,16 +127,18 @@ class ResidualBlocksWithInputConv(nn.Module):
     out_channels: int
     num_blocks: int = 1
     s2d: bool = False
+    s2d_r: int = 4
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.s2d:
-            x = ConvS2D(self.out_channels, name="input_conv")(x)
+            x = ConvS2D(self.out_channels, r=self.s2d_r, name="input_conv")(x)
         else:
             x = Conv(self.out_channels, name="input_conv")(x)
         x = lrelu(x)
         for i in range(self.num_blocks):
-            x = ResidualBlockNoBN(self.out_channels, s2d=self.s2d, name=f"block{i}")(x)
+            x = ResidualBlockNoBN(self.out_channels, s2d=self.s2d, s2d_r=self.s2d_r,
+                                  name=f"block{i}")(x)
         return x
 
 
@@ -147,14 +150,31 @@ class PixelShufflePack(nn.Module):
     upsample_kernel: int = 3
 
     @nn.compact
-    def __call__(self, x: jax.Array, keep_depth: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, keep_depth: bool = False,
+                 in_s2d: int = 1) -> jax.Array:
         s = self.scale_factor
-        x = Conv(
-            self.out_channels * s * s,
-            kernel_size=self.upsample_kernel,
-            kernel_init=kaiming_normal_fan_in(1.0),
-            name="upsample_conv",
-        )(x)
+        if in_s2d > 1:
+            # input arrives in space-to-depth(in_s2d) layout (the lv3_s2d
+            # trunk): run the conv as ConvS2D (same parameters), then
+            # relayout its s2d(in_s2d)-of-(native-grid, out*s^2) output to
+            # the native grid — which IS the keep_depth s2d(s) layout of
+            # the upsampled result; pixel_shuffle(s) of that recovers the
+            # full-resolution output as usual.
+            x = ConvS2D(
+                self.out_channels * s * s,
+                r=in_s2d,
+                kernel_size=self.upsample_kernel,
+                kernel_init=kaiming_normal_fan_in(1.0),
+                name="upsample_conv",
+            )(x)
+            x = pixel_shuffle(x, in_s2d)
+        else:
+            x = Conv(
+                self.out_channels * s * s,
+                kernel_size=self.upsample_kernel,
+                kernel_init=kaiming_normal_fan_in(1.0),
+                name="upsample_conv",
+            )(x)
         if keep_depth:
             # the conv output IS the pixel_shuffle(s) s2d layout of the
             # upsampled result (same channel order) — callers running the
@@ -171,11 +191,23 @@ class PixelUnShufflePackV2(nn.Module):
     downsample_kernel: int = 3
 
     @nn.compact
-    def __call__(self, x: jax.Array, pre_shuffled: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, pre_shuffled: bool = False,
+                 out_s2d: int = 1) -> jax.Array:
         if not pre_shuffled:
             # pre_shuffled: x is already in pixel_unshuffle(s) layout (the
             # s2d HR-tail state) — identical bytes, skip the relayout
             x = pixel_unshuffle(x, self.scale_factor)
+        if out_s2d > 1:
+            # emit the conv result directly in space-to-depth(out_s2d)
+            # layout (the lv3_s2d trunk): the few-channel output never
+            # materializes at its tile-padded native width
+            return ConvOutS2D(
+                self.out_channels,
+                r=out_s2d,
+                kernel_size=self.downsample_kernel,
+                kernel_init=kaiming_normal_fan_in(1.0),
+                name="downsample_conv",
+            )(x)
         return Conv(
             self.out_channels,
             kernel_size=self.downsample_kernel,
@@ -284,6 +316,78 @@ class ConvS2D(nn.Module):
             prec = jax.lax.Precision.HIGHEST
         out = jax.lax.conv_general_dilated(
             x, ws, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=prec,
+        )
+        if b is not None:
+            out = out + jnp.tile(b[:, None], (1, r2)).reshape(-1)
+        return out
+
+
+@functools.lru_cache(maxsize=None)
+def _out_s2d_route(k: int, r: int):
+    """Constant 0/1 routing for :class:`ConvOutS2D`'s kernel rearrange.
+
+    Shape (k, k, k+r-1, k+r-1, r*r): native tap (dy, dx) feeding output
+    phase q = ao*r+bo lands at fused-kernel position (ao+dy, bo+dx) of
+    the stride-r conv."""
+    import numpy as np
+
+    m = np.zeros((k, k, k + r - 1, k + r - 1, r * r), np.float32)
+    for dy in range(k):
+        for dx in range(k):
+            for ao in range(r):
+                for bo in range(r):
+                    m[dy, dx, ao + dy, bo + dx, ao * r + bo] = 1.0
+    return m
+
+
+class ConvOutS2D(nn.Module):
+    """A 'same' conv over a native-grid input that EMITS its result in
+    space-to-depth(r) layout — numerically exact (same math, summation
+    reassociation only).
+
+    Holds the SAME (kh, kw, cin, cout) parameter as :class:`Conv` under
+    the same child scope. Output phase q = (ao, bo) of s2d block (Y, X)
+    is the native output pixel (rY+ao, rX+bo); its tap (dy, dx) reads
+    input (rY+ao+dy-pad, rX+bo+dx-pad), i.e. position (ao+dy, bo+dx) of
+    a (k+r-1)^2 stride-r kernel. One strided conv writes the
+    (N, H/r, W/r, cout*r^2) c-major result directly — the few-channel
+    native-width output is never materialized at its tile-padded cost
+    (the lv3_s2d trunk's downsample boundary, docs/PERF.md)."""
+
+    features: int
+    r: int = 2
+    kernel_size: int = 3
+    kernel_init: Callable | None = None
+    bias_init: Callable | None = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, r = self.kernel_size, self.r
+        r2 = r * r
+        cin = x.shape[-1]
+        pad = (k - 1) // 2
+        fan_in = k * k * cin
+        kinit = self.kernel_init or torch_conv_kernel_init
+        binit = self.bias_init or torch_conv_bias_init(fan_in)
+        w, b = _ConvS2DParams(
+            k=k, cin=cin, cout=self.features, use_bias=self.use_bias,
+            kinit=kinit, binit=binit, name="conv",
+        )()
+
+        route = _out_s2d_route(k, r)
+        ws = jnp.einsum("ijco,ijuvq->uvcoq", w, route.astype(w.dtype))
+        ws = ws.reshape(k + r - 1, k + r - 1, cin, self.features * r2)
+
+        if x.dtype == jnp.bfloat16:
+            prec = None
+            ws = ws.astype(jnp.bfloat16)
+        else:
+            prec = jax.lax.Precision.HIGHEST
+        out = jax.lax.conv_general_dilated(
+            x, ws, (r, r), [(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=prec,
         )

@@ -23,6 +23,7 @@ def main():
     p.add_argument("--dcn_window_hr", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--hr_s2d", action="store_true")
+    p.add_argument("--lv3_s2d", action="store_true")
     p.add_argument("--fused", action="store_true",
                    help="one jitted flow+enc+step program per frame, one sync "
                         "per rep chain (deployment number)")
@@ -46,6 +47,7 @@ def main():
         dcn_window_hr=args.dcn_window_hr,
         bf16=args.bf16,
         hr_s2d=args.hr_s2d,
+        lv3_s2d=args.lv3_s2d,
         fused=args.fused,
     )
     print(res)

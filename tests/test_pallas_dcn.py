@@ -199,3 +199,36 @@ def test_pallas_shared_taps_mode():
         )
     )
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("r", [2, 4])
+def test_pallas_s2d_nonshared_matches_native(r):
+    # the lv3_s2d trunk path: non-repeat (per-tap offsets/masks) with every
+    # operand and the output in space-to-depth(r) layout
+    from crfp_tpu.ops.shuffle import pixel_shuffle, pixel_unshuffle
+
+    rng = np.random.default_rng(11)
+    n, h, w, c, g, o = 1, 16, 24, 8, 4, 8
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-6, 6, (n, h, w, g, 9, 2)), jnp.float32)
+    mk = jnp.asarray(rng.uniform(0, 1, (n, h, w, g, 9)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, o)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((o,)), jnp.float32)
+
+    want = np.asarray(
+        deform_conv2d_pallas(x, off, mk, wt, b, max_displacement=8,
+                             interpret=True))
+
+    r2 = r * r
+    hs, ws = h // r, w // r
+    x_s = pixel_unshuffle(x, r)
+    # (n,h,w,g,9,2) -> s2d: pixel_unshuffle is c-major (channel = c*r2 +
+    # phase), so the flattened (g,k2,2) fields stay major, phase minor
+    off_s = pixel_unshuffle(off.reshape(n, h, w, -1), r).reshape(
+        n, hs, ws, g, 9, 2, r2)
+    mk_s = pixel_unshuffle(mk.reshape(n, h, w, -1), r).reshape(
+        n, hs, ws, g, 9, r2)
+    got_s = deform_conv2d_pallas(x_s, off_s, mk_s, wt, b, max_displacement=8,
+                                 s2d=r, interpret=True)
+    got = np.asarray(pixel_shuffle(got_s, r))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)

@@ -144,3 +144,40 @@ def test_runtime_hr_s2d_equivalence():
     got0, got1 = m1.apply(params, method=run)
     np.testing.assert_allclose(np.asarray(got0), np.asarray(want0), atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=2e-5, rtol=1e-4)
+
+
+def test_runtime_lv3_s2d_equivalence():
+    # the s2d(2) 1/4-res trunk of the ROI runtime must match the plain
+    # runtime under the SAME parameters (windowed DCN in both so the
+    # clamped sampling math is identical)
+    from crfp_tpu.models.runtime import CRFPRuntimeV18
+
+    h, w = 16, 24
+    wp = (64, 64)
+    rng = np.random.default_rng(5)
+    lr = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    lr2 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    fv = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+
+    def run(mdl):
+        x_lr, x_hr = mdl.encode(lr, fv)
+        state, out0 = mdl.step0(lr, x_lr, x_hr)
+        state, out1 = mdl.step(state, lr2, lr, x_lr, x_hr)
+        state, out2 = mdl.step(state, lr, lr2, x_lr, x_hr)
+        return out0, out1, out2
+
+    kw = dict(variant="v18", mid_channels=16, hr_s2d=True,
+              dcn_window=8, dcn_window_hr=32)
+    m0 = CRFPRuntimeV18(ModelConfig(**kw), warp_size=wp)
+    params = m0.init(jax.random.PRNGKey(0), method=run)
+    wants = m0.apply(params, method=run)
+
+    m1 = CRFPRuntimeV18(ModelConfig(**kw, lv3_s2d=True), warp_size=wp)
+    p1_shape = jax.tree.map(lambda a: a.shape,
+                            jax.eval_shape(lambda: m1.init(jax.random.PRNGKey(0),
+                                                           method=run)))
+    assert p1_shape == jax.tree.map(lambda a: a.shape, params)
+    gots = m1.apply(params, method=run)
+    for got, want in zip(gots, wants):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, rtol=1e-4)

@@ -165,3 +165,38 @@ def test_compiled_windowed_warp_matches_clipped_gather():
     # two-stage (row-then-column) interpolation reassociates the f32
     # bilinear arithmetic vs the gather path's fused form
     assert err <= 5e-5, err
+
+
+@requires_tpu
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5), (jnp.bfloat16, 5e-2)],
+                         ids=["f32", "bf16"])
+def test_compiled_s2d2_nonshared_matches_logical(dtype, tol):
+    """The lv3_s2d trunk path: non-repeat per-tap operands in s2d(2)
+    layout — compiled kernel vs the logical-layout compiled kernel."""
+    from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas
+    from crfp_tpu.ops.shuffle import pixel_shuffle, pixel_unshuffle
+
+    n, h, w, c, g, d, r = 1, 64, 96, 32, 8, 8, 2
+    r2 = r * r
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), dtype)
+    off = jnp.asarray(rng.uniform(-d, d, (n, h, w, g, 9, 2)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(0, 1, (n, h, w, g, 9)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, dtype)
+
+    ref = jax.jit(lambda *a: deform_conv2d_pallas(*a, max_displacement=d))(
+        x, off, mask, wgt)
+
+    xs = pixel_unshuffle(x, r)
+    hs, ws = h // r, w // r
+    offs = pixel_unshuffle(off.reshape(n, h, w, -1), r).reshape(
+        n, hs, ws, g, 9, 2, r2)
+    masks = pixel_unshuffle(mask.reshape(n, h, w, -1), r).reshape(
+        n, hs, ws, g, 9, r2)
+    out = jax.jit(
+        lambda *a: deform_conv2d_pallas(*a, max_displacement=d, s2d=r, band=32)
+    )(xs, offs, masks, wgt)
+    err = float(jnp.abs(
+        pixel_shuffle(out, r).astype(jnp.float32) - ref.astype(jnp.float32)
+    ).max())
+    assert err <= tol, err
