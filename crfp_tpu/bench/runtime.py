@@ -73,6 +73,7 @@ def run_runtime_bench(
     bf16: bool = False,
     hr_s2d: bool = False,
     lv3_s2d: bool = False,
+    dcn_anchor: bool = False,
     fused: bool = False,
 ) -> BenchResult:
     """``fused``: time one jitted flow+encode+step program per frame with a
@@ -80,7 +81,7 @@ def run_runtime_bench(
     pays the ~28 ms axon dispatch floor at every stage boundary)."""
     cfg = ModelConfig(variant="v18", mid_channels=mid_channels,
                       dcn_window=dcn_window, dcn_window_hr=dcn_window_hr,
-                      hr_s2d=hr_s2d, lv3_s2d=lv3_s2d)
+                      hr_s2d=hr_s2d, lv3_s2d=lv3_s2d, dcn_anchor=dcn_anchor)
     model = CRFPRuntimeV18(cfg, warp_size=warp_size)
     lr_h, lr_w = PRESETS[preset]["lr"]
     rng = np.random.default_rng(seed)

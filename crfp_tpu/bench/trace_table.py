@@ -134,6 +134,7 @@ def main():
     p.add_argument("--dcn_window_hr", type=int, default=32)
     p.add_argument("--hr_s2d", action="store_true", default=True)
     p.add_argument("--lv3_s2d", action="store_true")
+    p.add_argument("--dcn_anchor", action="store_true")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--logdir", default="/tmp/crfp_trace_table")
     args = p.parse_args()
@@ -147,6 +148,7 @@ def main():
         dcn_window_hr=args.dcn_window_hr,
         hr_s2d=args.hr_s2d,
         lv3_s2d=args.lv3_s2d,
+        dcn_anchor=args.dcn_anchor,
         bf16=not args.f32,
     )
 

@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hr_s2d", type=str2bool, default=False,
                    help="run the full-resolution tail in space-to-depth(4) "
                         "layout (bit-exact, ~10%% faster on TPU; v18 only)")
+    p.add_argument("--dcn_anchor", type=str2bool, default=False,
+                   help="per-cell anchored windows for the HR windowed ops "
+                        "(inference-only; smaller halos, wider effective range)")
     p.add_argument("--lv3_s2d", type=str2bool, default=False,
                    help="run the 1/4-res trunk in space-to-depth(2) layout "
                         "(numerically exact; requires hr_s2d + dcn_window)")
@@ -150,6 +153,7 @@ def model_config(args) -> ModelConfig:
         dcn_window_hr=args.dcn_window_hr,
         hr_s2d=args.hr_s2d,
         lv3_s2d=args.lv3_s2d,
+        dcn_anchor=getattr(args, "dcn_anchor", False),
     )
 
 

@@ -102,7 +102,7 @@ class CRFPRuntimeV18(nn.Module):
                               window=cfg.dcn_window, **t2)
         self.dcn_3 = DCNAlign(last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
                               interpolate="pixelshuffle", window=cfg.dcn_window_hr,
-                              s2d=cfg.hr_s2d,
+                              s2d=cfg.hr_s2d, anchor=cfg.dcn_anchor,
                               pre_offset_s2d=2 if cfg.lv3_s2d else 1)
         self.encoder_lr = LTESimpleLR(m)
         self.encoder_hr = LTESimpleHRSingle(last)
@@ -193,13 +193,13 @@ class CRFPRuntimeV18(nn.Module):
             # the relayouts into their prep/post transposes
             flow_s2d = pixel_unshuffle(flow_lv0, 4)
             hr_warped = flow_warp_maybe_windowed_s2d(
-                hr_state, flow_s2d, cfg.dcn_window_hr)
+                hr_state, flow_s2d, cfg.dcn_window_hr, anchor=cfg.dcn_anchor)
             o2 = 2 if cfg.lv3_s2d else 1
             lv3_warped = self.downsample(hr_warped, pre_shuffled=True, out_s2d=o2)
             lv3_state = self.downsample(hr_state, pre_shuffled=True, out_s2d=o2)
         else:
             hr_warped = flow_warp_maybe_windowed(
-                hr_state, flow_lv0, cfg.dcn_window_hr)
+                hr_state, flow_lv0, cfg.dcn_window_hr, anchor=cfg.dcn_anchor)
             lv3_warped = self.downsample(hr_warped)
             lv3_state = self.downsample(hr_state)
         f0, f1, f2 = state["lv"]
@@ -300,7 +300,7 @@ class CRFPRuntimeSimple(nn.Module):
                               window=cfg.dcn_window)
         self.dcn_3 = DCNAlign(last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
                               interpolate="pixelshuffle", window=cfg.dcn_window_hr,
-                              s2d=cfg.hr_s2d)
+                              s2d=cfg.hr_s2d, anchor=cfg.dcn_anchor)
         self.encoder_lr = LTESimpleLR(m)
         self.encoder_hr = LTESimpleHRSingle(last)
         s2 = cfg.hr_s2d
@@ -382,12 +382,12 @@ class CRFPRuntimeSimple(nn.Module):
         if cfg.hr_s2d:
             flow_s2d = pixel_unshuffle(flow_lv0, 4)
             hr_warped = flow_warp_maybe_windowed_s2d(
-                hr_state, flow_s2d, cfg.dcn_window_hr)
+                hr_state, flow_s2d, cfg.dcn_window_hr, anchor=cfg.dcn_anchor)
             lv3_warped = self.downsample(hr_warped, pre_shuffled=True)
             lv3_state = self.downsample(hr_state, pre_shuffled=True)
         else:
             hr_warped = flow_warp_maybe_windowed(
-                hr_state, flow_lv0, cfg.dcn_window_hr)
+                hr_state, flow_lv0, cfg.dcn_window_hr, anchor=cfg.dcn_anchor)
             lv3_warped = self.downsample(hr_warped)
             lv3_state = self.downsample(hr_state)
 

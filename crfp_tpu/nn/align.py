@@ -28,7 +28,8 @@ from crfp_tpu.ops.resize import upsample as bilinear_upsample
 
 
 def _windowed_dcn(x, off, mask, weight, bias, window: int, shared: bool = False,
-                  shared_mask: bool = False, s2d: int = 1):
+                  shared_mask: bool = False, s2d: int = 1,
+                  anchor: bool = False):
     """Windowed-DCN dispatch: the Mosaic kernel on TPU (differentiable via
     its custom VJP), the XLA lax.map interpolation-matrix form elsewhere
     (same math, same clamping — tests compare the two).
@@ -37,7 +38,10 @@ def _windowed_dcn(x, off, mask, weight, bias, window: int, shared: bool = False,
     tap (the Pallas kernel exploits the shared fractional parts).
     ``shared_mask``: one mask per (pixel, group) broadcast to every tap.
     ``s2d``: every per-pixel operand and the output in space-to-depth(r)
-    layout (see crfp_tpu/ops/pallas/dcn.py)."""
+    layout (see crfp_tpu/ops/pallas/dcn.py). ``anchor``: per-cell anchored
+    windows (inference-only, TPU kernel only — the CPU/XLA fallback keeps
+    the plain ±window clamp, which the anchored kernel is exact-or-better
+    than for cell-coherent motion)."""
     if jax.default_backend() == "tpu":
         from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_vjp
 
@@ -52,7 +56,7 @@ def _windowed_dcn(x, off, mask, weight, bias, window: int, shared: bool = False,
         return deform_conv2d_pallas_vjp(
             x, off, mask, weight, bias, max_displacement=window,
             shared_taps=shared, shared_mask=shared_mask, s2d=s2d,
-            band=band,
+            band=band, anchor=anchor,
         )
     from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
 
@@ -123,6 +127,9 @@ class DCNAlign(nn.Module):
     # stage's own (dcn_3 consumes the s2d(2) lv3 trunk's offset feature
     # through its PixelShufflePack: 1 = native grid, 2 = s2d(2))
     pre_offset_s2d: int = 1
+    # per-cell anchored windows for the windowed kernel (inference-only;
+    # see ModelConfig.dcn_anchor)
+    anchor: bool = False
 
     @nn.compact
     def __call__(
@@ -191,7 +198,7 @@ class DCNAlign(nn.Module):
                 bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
                 aligned = _windowed_dcn(
                     pre_x, off, mask, weight, bias, self.window,
-                    shared=True, shared_mask=True, s2d=r,
+                    shared=True, shared_mask=True, s2d=r, anchor=self.anchor,
                 )
                 return aligned, feat
             if self.s2d:
@@ -227,6 +234,7 @@ class DCNAlign(nn.Module):
                 aligned = _windowed_dcn(
                     pre_x, off[:, :, :, :, None, :], mask, weight, bias,
                     self.window, shared=True, shared_mask=True,
+                    anchor=self.anchor,
                 )
             else:
                 # all taps share one offset -> 4x4-patch gather fast path
@@ -270,7 +278,8 @@ class DCNAlign(nn.Module):
         bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
         if self.window is not None:
             aligned = _windowed_dcn(pre_x, off, mask, weight, bias, self.window,
-                                    s2d=r if self.s2d else 1)
+                                    s2d=r if self.s2d else 1,
+                                    anchor=self.anchor)
         else:
             aligned = deform_conv2d(pre_x, off, mask, weight, bias)
         return aligned, feat

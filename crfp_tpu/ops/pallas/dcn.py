@@ -57,6 +57,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dcn_kernel(
+    starts_ref,  # (total, 2) int32 scalar-prefetch: per-grid-step window
+                 # (row, lane) DMA starts into the padded planes — static
+                 # cell corners normally, per-cell anchored corners in
+                 # anchor mode (docs/PERF.md lever 2)
     qd_ref,      # (1, 1, L, P) f32: sublanes [ly_k | lx_k | mask_k], queries on lanes
     w_ref,       # (1, k2, o, wcwin) expanded transposed weights for this group
     xg_hbm,      # (NG, Hp, Wcp) padded source planes, HBM
@@ -89,17 +93,18 @@ def _dcn_kernel(
     total = pl.num_programs(0)
     p_tile = band * xtile
 
+    # prep guarantees every start in the table is tile-aligned (rows to
+    # the sublane tile, lanes to 128); Mosaic needs the hint to prove it
+    sub_tile = 16 if win_s.dtype == jnp.bfloat16 else 8
+
     def window_dma(idx, slot):
         g = idx % n_groups
-        cell = (idx // n_groups) % n_cells
         ni = idx // (n_groups * n_cells)
-        bi = cell // n_tiles
-        tj = cell % n_tiles
         return pltpu.make_async_copy(
             xg_hbm.at[
                 ni * n_groups + g,
-                pl.ds(bi * band, hwin),
-                pl.ds(tj * xtile * cpg, wcwin),
+                pl.ds(pl.multiple_of(starts_ref[idx, 0], sub_tile), hwin),
+                pl.ds(pl.multiple_of(starts_ref[idx, 1], 128), wcwin),
             ],
             win_s.at[slot],
             sems.at[slot],
@@ -424,13 +429,13 @@ def _fwd_call(geom):
         k2=k2, cpg=cpg, o=o, hwin=hwin, wcwin=wcwin, kh=kh, kw=kw,
         shared=shared, mask_mode=mask_mode,
     )
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # the (total, 2) window-start table
         grid=(total,),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, qd_lanes, p_tile),
-                lambda i: (
+                lambda i, s: (
                     (i // (g * n_cells)) * g + i % g,
                     (i // g) % n_cells,
                     0,
@@ -440,21 +445,25 @@ def _fwd_call(geom):
             ),
             pl.BlockSpec(
                 (1, k2, o, wcwin),
-                lambda i: (i % g, 0, 0, 0),
+                lambda i, s: (i % g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, o, p_tile),
-            lambda i: (i // (g * n_cells), (i // g) % n_cells, 0, 0),
+            lambda i, s: (i // (g * n_cells), (i // g) % n_cells, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, n_cells, o, p_tile), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, hwin, wcwin), cdtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, n_cells, o, p_tile), jnp.float32),
         interpret=interpret,
     )
 
@@ -546,12 +555,21 @@ def _core_op(geom):
     n_bands = n_cells // n_tiles
     xc = xtile * cpg
 
+    # static (unanchored) window-start table — fullgrad never anchors,
+    # so the starts are a compile-time constant derived from the geometry
+    import numpy as np
+
+    cell_i = np.arange(n_cells, dtype=np.int32)
+    st = np.stack([(cell_i // n_tiles) * band, (cell_i % n_tiles) * xc], -1)
+    starts = np.broadcast_to(
+        st[None, :, None], (n, n_cells, g, 2)).reshape(-1, 2).copy()
+
     @jax.custom_vjp
     def core(qd, wexp, xg):
-        return _fwd_call(geom)(qd, wexp, xg)
+        return _fwd_call(geom)(starts, qd, wexp, xg)
 
     def fwd(qd, wexp, xg):
-        return _fwd_call(geom)(qd, wexp, xg), (qd, wexp, xg)
+        return _fwd_call(geom)(starts, qd, wexp, xg), (qd, wexp, xg)
 
     def bwd(res, gout):
         qd, wexp, xg = res
@@ -598,6 +616,7 @@ def deform_conv2d_pallas(
     shared_taps: bool = False,
     shared_mask: bool = False,
     s2d: int = 1,
+    anchor: bool = False,
     fullgrad: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
@@ -639,6 +658,17 @@ def deform_conv2d_pallas(
     pixel_unshuffle copy pairs (~8 MB each at data-formatting rates) that
     a round-3 device trace showed bracketing every kernel call.
 
+    ``anchor``: per-cell window anchoring (inference-only). Each (cell,
+    group)'s DMA window starts at the cell's quantized mean displacement
+    rather than the cell corner, shrinking the halo from ±D-sized to
+    residual-sized (rows: ~16, cols: quantized by the 128-lane grid) —
+    2-3.5x less stage-1 MXU work and window DMA at D=32 — while RAISING
+    the effective displacement range to anchor±dl with |anchor| <= D
+    rounded up. Exactness contract becomes: exact wherever the sample
+    displacement lies within ±dl of the cell's anchor (dl >= 12; reported
+    geometry in the source). For cell-coherent motion (smooth flows) this
+    is strictly more accurate than the plain ±D clamp.
+
     Mosaic requires every manual DMA slice of the (8, 128)-tiled source
     planes to be tile-aligned in both sublane (rows) and lane (w*cpg)
     dims, so the geometry is quantized: band and the window row count to
@@ -676,21 +706,41 @@ def deform_conv2d_pallas(
     cpg = c // g
     pad_y, pad_x = (kh - 1) // 2, (kw - 1) // 2
     d = max_displacement
-    halo = d + max(pad_y, pad_x) + 2
 
     def round_up(v, m):
         return -(-v // m) * m
 
     sub_tile = 16 if x.dtype == jnp.bfloat16 else 8
-    # row starts are bi*band and the slice height is band + 2*halo: both
-    # must be multiples of the sublane tile (and of the s2d block)
-    band = round_up(band, sub_tile if r == 1 else math.lcm(sub_tile, r))
-    halo = round_up(halo, sub_tile // 2)
-    # lane starts are tj*xtile*cpg and the slice width (xtile + 2*halo)*cpg:
-    # multiples of 128 lanes
     lane_q = 128 // math.gcd(cpg, 128)
+    # row starts and the slice height must be multiples of the sublane
+    # tile (and of the s2d block); lane starts and the slice width
+    # (xtile + 2*halo_c)*cpg multiples of 128 lanes
+    band = round_up(band, sub_tile if r == 1 else math.lcm(sub_tile, r))
     xtile = round_up(xtile, lane_q if r == 1 else math.lcm(lane_q, r))
-    halo = round_up(halo, max(sub_tile // 2, lane_q // 2))
+    if anchor:
+        # Per-cell anchored windows (docs/PERF.md lever 2): the DMA window
+        # for each (cell, group) starts at the cell's quantized mean
+        # displacement instead of the cell corner, so the halo only needs
+        # to cover the RESIDUAL spread around that anchor (plus the
+        # anchor-quantization error), not the full ±D range. Exact-within-
+        # window becomes "exact whenever |off - cell_anchor| <= dl"; for
+        # cell-coherent motion the effective displacement range RISES to
+        # ±(A + dl) > ±D. Inference-only: the backward overlap-add relies
+        # on static window corners.
+        assert not fullgrad, "anchored windows are inference-only"
+        a_y = round_up(d, sub_tile)       # anchor range/quantum, rows
+        a_x = round_up(d, lane_q)         # anchor range/quantum, cols
+        dl_r = float(max(12, sub_tile // 2 + 8))
+        dl_c = float(max(12, lane_q // 2 + 8))
+        halo_r = round_up(int(dl_r) + pad_y + 2, sub_tile // 2)
+        halo_c = round_up(int(dl_c) + pad_x + 2, max(1, lane_q // 2))
+        dl_r = float(halo_r - pad_y - 2)  # use all the rounding slack
+        dl_c = float(halo_c - pad_x - 2)
+    else:
+        a_y = a_x = 0
+        dl_r = dl_c = float(d)
+        halo_r = round_up(d + pad_y + 2, sub_tile // 2)
+        halo_c = round_up(d + pad_x + 2, max(1, lane_q // 2))
 
     # scoped-VMEM guard: the per-cell intermediates (v f32, the column
     # weights — kw of them cached in shared mode — the u product in the
@@ -706,8 +756,8 @@ def deform_conv2d_pallas(
 
     def vmem_est(band_e, xtile_e):
         p_est = band_e * xtile_e
-        wcwin_est = (xtile_e + 2 * halo) * cpg
-        hwin_est = band_e + 2 * halo
+        wcwin_est = (xtile_e + 2 * halo_c) * cpg
+        hwin_est = band_e + 2 * halo_r
         cw_bufs = 4 * (kw if shared_taps else 1)  # cached cws in shared mode
         est = (
             p_est * wcwin_est * (4 + item + cw_bufs)  # v f32 + u + cw(s)
@@ -766,11 +816,12 @@ def deform_conv2d_pallas(
     n_tiles = -(-w // xtile)
     h_pad = n_bands * band - h
     w_pad = n_tiles * xtile - w
-    hwin = band + 2 * halo
-    wwin = xtile + 2 * halo
+    hwin = band + 2 * halo_r
+    wwin = xtile + 2 * halo_c
     wcwin = wwin * cpg
     n_cells = n_bands * n_tiles
     p_tile = band * xtile
+    pad_t, pad_l = a_y + halo_r, a_x + halo_c  # plane padding incl. anchor range
 
     # ---- XLA-side prep (cheap elementwise/transpose work) ----
     # padded group planes with flattened (w, cpg) lanes
@@ -783,11 +834,64 @@ def deform_conv2d_pallas(
         xg = x.reshape(n, h, w, g, cpg).transpose(0, 3, 1, 2, 4)
     xg = jnp.pad(
         xg,
-        ((0, 0), (0, 0), (halo, halo + h_pad), (halo, halo + w_pad), (0, 0)),
-    ).reshape(n * g, h + h_pad + 2 * halo, (w + w_pad + 2 * halo) * cpg)
+        ((0, 0), (0, 0), (pad_t, pad_t + h_pad), (pad_l, pad_l + w_pad), (0, 0)),
+    ).reshape(n * g, h + h_pad + 2 * pad_t, (w + w_pad + 2 * pad_l) * cpg)
 
-    # absolute sample coords with clamped displacement
-    off = jnp.clip(offset.astype(jnp.float32), -float(d), float(d))
+    # per-axis displacement components, f32 (phases trailing when r > 1)
+    off_f = offset.astype(jnp.float32)
+    oy_r = off_f[..., 0, :] if r > 1 else off_f[..., 0]  # (n,h',w',g,K[,r2])
+    ox_r = off_f[..., 1, :] if r > 1 else off_f[..., 1]
+
+    if anchor:
+        # quantized per-(cell, group) mean displacement -> window anchors.
+        # Edge cells mean over their zero pad, which only shrinks the
+        # anchor magnitude there (conservative).
+        def cell_mean(a):  # (n, h', w', g) -> (n, g, n_bands, n_tiles)
+            if r > 1:
+                a = jnp.pad(a, ((0, 0), (0, h_pad // r), (0, w_pad // r), (0, 0)))
+                a = a.reshape(n, n_bands, band // r, n_tiles, xtile // r, g)
+            else:
+                a = jnp.pad(a, ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+                a = a.reshape(n, n_bands, band, n_tiles, xtile, g)
+            return a.mean(axis=(2, 4)).transpose(0, 3, 1, 2)
+
+        red_axes = (4, 5) if r > 1 else (4,)
+        ay_m = cell_mean(jnp.clip(oy_r, -(a_y + dl_r), a_y + dl_r).mean(red_axes))
+        ax_m = cell_mean(jnp.clip(ox_r, -(a_x + dl_c), a_x + dl_c).mean(red_axes))
+        ayq = jnp.clip(jnp.round(ay_m / sub_tile), -a_y // sub_tile,
+                       a_y // sub_tile) * sub_tile  # (n, g, nb, nt) f32
+        axq = jnp.clip(jnp.round(ax_m / lane_q), -a_x // lane_q,
+                       a_x // lane_q) * lane_q
+
+        def to_field(aq):  # (n, g, nb, nt) -> broadcastable over oy_r
+            f = jnp.repeat(
+                jnp.repeat(aq.transpose(0, 2, 3, 1),
+                           band // r if r > 1 else band, axis=1),
+                xtile // r if r > 1 else xtile, axis=2)
+            f = f[:, : oy_r.shape[1], : oy_r.shape[2]]
+            return f[..., None, None] if r > 1 else f[..., None]
+
+        # the anchor cancels out of the window-local coordinates (the DMA
+        # start absorbs it), so only the residual-clip sees it
+        oy = jnp.clip(oy_r - to_field(ayq), -dl_r, dl_r)
+        ox = jnp.clip(ox_r - to_field(axq), -dl_c, dl_c)
+        # per-grid-step window (row, lane) DMA starts
+        bi_v = (jnp.arange(n_cells, dtype=jnp.int32) // n_tiles) * band
+        tj_v = (jnp.arange(n_cells, dtype=jnp.int32) % n_tiles) * xtile
+        rows = ayq.astype(jnp.int32).reshape(n, g, n_cells) + bi_v + a_y
+        lanes = (axq.astype(jnp.int32).reshape(n, g, n_cells) + tj_v + a_x) * cpg
+        starts = jnp.stack([rows, lanes], axis=-1)  # (n, g, cells, 2)
+        starts = starts.transpose(0, 2, 1, 3).reshape(n * n_cells * g, 2)
+    else:
+        oy = jnp.clip(oy_r, -dl_r, dl_r)
+        ox = jnp.clip(ox_r, -dl_c, dl_c)
+        bi_v = (jnp.arange(n_cells, dtype=jnp.int32) // n_tiles) * band
+        tj_v = (jnp.arange(n_cells, dtype=jnp.int32) % n_tiles) * xtile * cpg
+        starts = jnp.stack(
+            [jnp.broadcast_to(bi_v[:, None], (n_cells, g)),
+             jnp.broadcast_to(tj_v[:, None], (n_cells, g))], axis=-1)
+        starts = jnp.broadcast_to(starts[None], (n, n_cells, g, 2)).reshape(
+            n * n_cells * g, 2)
     if r > 1:
         # s2d grid coordinates: y = Y*r + p//r, x = X*r + p%r with the
         # phase index p on the trailing axis
@@ -800,33 +904,39 @@ def deform_conv2d_pallas(
         gx = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w, 1, 1)
     if shared_taps:
         # center-tap coordinates only; the kernel adds the tap shifts
-        sy = gy + off[..., 0, :] if r > 1 else gy + off[..., 0]  # (n,h,w,g,1[,r2])
-        sx = gx + off[..., 1, :] if r > 1 else gx + off[..., 1]
+        sy = gy + oy  # (n,h,w,g,1[,r2])
+        sx = gx + ox
     else:
         if r > 1:
             ty = (jnp.arange(kh, dtype=jnp.float32) - pad_y).repeat(kw).reshape(1, 1, 1, 1, k2, 1)
             tx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) - pad_x, kh).reshape(1, 1, 1, 1, k2, 1)
-            sy = gy + ty + off[..., 0, :]  # (n, hs, ws, g, k2, r2)
-            sx = gx + tx + off[..., 1, :]
+            sy = gy + ty + oy  # (n, hs, ws, g, k2, r2)
+            sx = gx + tx + ox
         else:
             ty = (jnp.arange(kh, dtype=jnp.float32) - pad_y).repeat(kw).reshape(1, 1, 1, 1, k2)
             tx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) - pad_x, kh).reshape(1, 1, 1, 1, k2)
-            sy = gy + ty + off[..., 0]  # (n, h, w, g, k2)
-            sx = gx + tx + off[..., 1]
+            sy = gy + ty + oy  # (n, h, w, g, k2)
+            sx = gx + tx + ox
 
     def cellwise(a):
         """(n, h, w, g, K) [or the s2d form (n, hs, ws, g, K, r^2)] ->
-        (n*g, n_cells, K, P): queries on the LANE axis (P row-major within
-        the cell), fields on sublanes — dense in HBM for any field count
-        (P is a multiple of 128)."""
+        (n*g, n_cells, K, P): queries on the LANE axis, fields on sublanes
+        — dense in HBM for any field count (P is a multiple of 128).
+
+        Query order within a cell: row-major for r == 1; PHASE-MINOR for
+        r > 1 (p = (ys*xtile_s + xs)*r^2 + phase). The kernel's math is
+        per-query order-agnostic, and keeping the s2d phase axis minor
+        makes this the same fusable transpose class as the r == 1 path —
+        the full-res row-major order interleaved phases and lowered to
+        ~16 standalone ~0.2 ms copies per step (round-3 lv3_s2d trace)."""
         if r > 1:
             kk = a.shape[4]
             a = jnp.pad(
                 a,
                 ((0, 0), (0, h_pad // r), (0, w_pad // r), (0, 0), (0, 0), (0, 0)),
             )
-            a = a.reshape(n, n_bands, band // r, n_tiles, xtile // r, g, kk, r, r)
-            a = a.transpose(0, 5, 1, 3, 6, 2, 7, 4, 8)
+            a = a.reshape(n, n_bands, band // r, n_tiles, xtile // r, g, kk, r * r)
+            a = a.transpose(0, 5, 1, 3, 6, 2, 4, 7)
             return a.reshape(n * g, n_cells, kk, p_tile)
         kk = a.shape[-1]
         a = jnp.pad(a, ((0, 0), (0, h_pad), (0, w_pad), (0, 0), (0, 0)))
@@ -841,16 +951,16 @@ def deform_conv2d_pallas(
     if r > 1:
         # y//band depends only on the s2d block row because band % r == 0
         row_base = (
-            band * (jnp.arange(hs, dtype=jnp.float32) // (band // r)) - halo
+            band * (jnp.arange(hs, dtype=jnp.float32) // (band // r)) - halo_r
         ).reshape(1, hs, 1, 1, 1, 1)
         col_base = (
-            xtile * (jnp.arange(ws, dtype=jnp.float32) // (xtile // r)) - halo
+            xtile * (jnp.arange(ws, dtype=jnp.float32) // (xtile // r)) - halo_c
         ).reshape(1, 1, ws, 1, 1, 1)
     else:
-        row_base = (band * (jnp.arange(h, dtype=jnp.float32) // band) - halo).reshape(
+        row_base = (band * (jnp.arange(h, dtype=jnp.float32) // band) - halo_r).reshape(
             1, h, 1, 1, 1
         )
-        col_base = (xtile * (jnp.arange(w, dtype=jnp.float32) // xtile) - halo).reshape(
+        col_base = (xtile * (jnp.arange(w, dtype=jnp.float32) // xtile) - halo_c).reshape(
             1, 1, w, 1, 1
         )
     ly = cellwise(sy - row_base)
@@ -880,12 +990,13 @@ def deform_conv2d_pallas(
     if fullgrad:
         out = _core_op(geom)(qd, wexp, xg)
     else:
-        out = _fwd_call(geom)(qd, wexp, xg)
+        out = _fwd_call(geom)(starts, qd, wexp, xg)
 
     if r > 1:
-        # emit straight back to s2d(r) layout (channel = oc*r^2 + phase)
-        out = out.reshape(n, n_bands, n_tiles, o, band // r, r, xtile // r, r)
-        out = out.transpose(0, 1, 4, 2, 6, 3, 5, 7).reshape(
+        # emit straight back to s2d(r) layout (channel = oc*r^2 + phase;
+        # P is phase-minor, see cellwise)
+        out = out.reshape(n, n_bands, n_tiles, o, band // r, xtile // r, r * r)
+        out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(
             n, n_bands * (band // r), n_tiles * (xtile // r), o * r * r
         )[:, :hs, :ws]
     else:
@@ -1028,6 +1139,7 @@ def deform_conv2d_pallas_vjp(
     shared_taps: bool = False,
     shared_mask: bool = False,
     s2d: int = 1,
+    anchor: bool = False,
     backward: str = "pallas",  # 'pallas' | 'xla'
     interpret: bool = False,
 ) -> jax.Array:
@@ -1043,8 +1155,18 @@ def deform_conv2d_pallas_vjp(
 
     ``mask=None`` means unit modulation (the plain warp): the mask field
     is dropped from the kernel's query data and its gradient is skipped.
-    ``shared_mask`` / ``s2d``: see :func:`deform_conv2d_pallas`.
+    ``shared_mask`` / ``s2d`` / ``anchor``: see
+    :func:`deform_conv2d_pallas`. ``anchor=True`` is inference-only: no
+    VJP is attached, so differentiating raises instead of silently using
+    unanchored windows in the backward.
     """
+    if anchor:
+        return deform_conv2d_pallas(
+            x, offset, mask, weight, bias,
+            max_displacement=max_displacement, band=band, xtile=xtile,
+            shared_taps=shared_taps, shared_mask=shared_mask, s2d=s2d,
+            anchor=True, interpret=interpret,
+        )
     if backward == "pallas":
         return deform_conv2d_pallas(
             x, offset, mask, weight, bias,

@@ -24,6 +24,7 @@ def main():
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--hr_s2d", action="store_true")
     p.add_argument("--lv3_s2d", action="store_true")
+    p.add_argument("--dcn_anchor", action="store_true")
     p.add_argument("--fused", action="store_true",
                    help="one jitted flow+enc+step program per frame, one sync "
                         "per rep chain (deployment number)")
@@ -48,6 +49,7 @@ def main():
         bf16=args.bf16,
         hr_s2d=args.hr_s2d,
         lv3_s2d=args.lv3_s2d,
+        dcn_anchor=args.dcn_anchor,
         fused=args.fused,
     )
     print(res)

@@ -232,3 +232,115 @@ def test_pallas_s2d_nonshared_matches_native(r):
                                  s2d=r, interpret=True)
     got = np.asarray(pixel_shuffle(got_s, r))
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+# ---- anchored windows (docs/PERF.md lever 2) ----
+
+def test_pallas_anchored_uniform_beyond_window_is_exact():
+    # uniform motion LARGER than ±D stays exact under anchoring: the
+    # per-cell window follows the quantized mean displacement, so only
+    # the residual must fit the (>=12 px) local window
+    rng = np.random.default_rng(20)
+    n, h, w, c, g = 1, 19, 27, 8, 2
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    base = jnp.asarray([14.3, -11.7], jnp.float32)  # |dy| > D=8
+    off = base + jnp.asarray(rng.uniform(-2, 2, (n, h, w, g, 9, 2)), jnp.float32)
+    mk = jnp.asarray(rng.uniform(0, 1, (n, h, w, g, 9)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.2, jnp.float32)
+
+    want = np.asarray(deform_conv2d(x, off, mk, wt, None))
+    got = np.asarray(
+        deform_conv2d_pallas(x, off, mk, wt, None, max_displacement=8,
+                             anchor=True, interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_pallas_anchored_small_offsets_match_gather():
+    # near-zero cell means -> anchors quantize to 0 -> behaves like the
+    # plain window (and the residual window is at least as wide)
+    rng = np.random.default_rng(21)
+    n, h, w, c, g = 2, 16, 24, 8, 2
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-6, 6, (n, h, w, g, 9, 2)), jnp.float32)
+    mk = jnp.asarray(rng.uniform(0, 1, (n, h, w, g, 9)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.2, jnp.float32)
+
+    want = np.asarray(deform_conv2d(x, off, mk, wt, None))
+    got = np.asarray(
+        deform_conv2d_pallas(x, off, mk, wt, None, max_displacement=8,
+                             anchor=True, interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_pallas_anchored_shared_s2d_matches_oracle():
+    # the HR dcn_3 deployment shape: shared taps + shared mask + s2d(4)
+    # operands + anchored windows, uniform motion beyond ±D
+    from crfp_tpu.ops.dcn import deform_conv2d_shared_offset
+    from crfp_tpu.ops.shuffle import pixel_shuffle, pixel_unshuffle
+
+    rng = np.random.default_rng(22)
+    n, h, w, c, r = 1, 24, 32, 4, 4
+    r2 = r * r
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    base = jnp.asarray([10.5, -9.25], jnp.float32)
+    shared = base + jnp.asarray(rng.uniform(-1.5, 1.5, (n, h, w, 1, 1, 2)),
+                                jnp.float32)
+    mk1 = jnp.asarray(rng.uniform(0, 1, (n, h, w, 1, 1)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.2, jnp.float32)
+
+    want = np.asarray(
+        deform_conv2d_shared_offset(
+            x, shared[:, :, :, 0, 0, :],
+            jnp.broadcast_to(mk1[..., 0][..., None], (n, h, w, 1, 9))[:, :, :, 0, :],
+            wt, None))
+
+    hs, ws = h // r, w // r
+    x_s = pixel_unshuffle(x, r)
+    off_s = pixel_unshuffle(shared.reshape(n, h, w, 2), r).reshape(
+        n, hs, ws, 1, 1, 2, r2)
+    mk_s = pixel_unshuffle(mk1.reshape(n, h, w, 1), r).reshape(
+        n, hs, ws, 1, 1, r2)
+    got = np.asarray(pixel_shuffle(
+        deform_conv2d_pallas(x_s, off_s, mk_s, wt, None, max_displacement=8,
+                             shared_taps=True, shared_mask=True, s2d=r,
+                             anchor=True, interpret=True), r))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_pallas_anchored_warp_beyond_window_is_exact():
+    from crfp_tpu.ops.warp import flow_warp
+
+    rng = np.random.default_rng(23)
+    n, h, w, c = 1, 24, 32, 4
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    flow = jnp.asarray([13.0, -10.0], jnp.float32) + jnp.asarray(
+        rng.uniform(-2, 2, (n, h, w, 2)), jnp.float32)
+    off = jnp.stack([flow[..., 1], flow[..., 0]], -1).reshape(n, h, w, 1, 1, 2)
+    eye = jnp.eye(c, dtype=x.dtype).reshape(1, 1, c, c)
+
+    want = np.asarray(flow_warp(x, flow))  # NO clipping: exact beyond ±D
+    got = np.asarray(
+        deform_conv2d_pallas(x, off, None, eye, None, max_displacement=8,
+                             anchor=True, interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_pallas_anchored_refuses_grad():
+    # anchored windows are inference-only: no VJP is attached, so
+    # differentiation must raise instead of silently mixing geometries
+    from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_vjp
+
+    rng = np.random.default_rng(24)
+    n, h, w, c = 1, 8, 8, 4
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-2, 2, (n, h, w, 1, 9, 2)), jnp.float32)
+    mk = jnp.asarray(rng.uniform(0, 1, (n, h, w, 1, 9)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.2, jnp.float32)
+
+    def loss(x):
+        return jnp.sum(deform_conv2d_pallas_vjp(
+            x, off, mk, wt, None, max_displacement=8, anchor=True,
+            interpret=True) ** 2)
+
+    with pytest.raises(Exception):
+        jax.grad(loss)(x)

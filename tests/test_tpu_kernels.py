@@ -200,3 +200,65 @@ def test_compiled_s2d2_nonshared_matches_logical(dtype, tol):
         pixel_shuffle(out, r).astype(jnp.float32) - ref.astype(jnp.float32)
     ).max())
     assert err <= tol, err
+
+
+@requires_tpu
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 5e-5), (jnp.bfloat16, 5e-2)],
+                         ids=["f32", "bf16"])
+def test_compiled_anchored_uniform_beyond_window(dtype, tol):
+    """Anchored windows compiled on-chip: uniform motion beyond ±D stays
+    exact vs the unclipped gather oracle (docs/PERF.md lever 2)."""
+    from crfp_tpu.ops.dcn import deform_conv2d
+    from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas
+
+    rng = np.random.default_rng(7)
+    n, h, w, c, g, d = 1, 64, 96, 32, 8, 8
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), dtype)
+    base = jnp.asarray([13.0, -11.0], jnp.float32)  # beyond ±8
+    off = base + jnp.asarray(rng.uniform(-2, 2, (n, h, w, g, 9, 2)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(0, 1, (n, h, w, g, 9)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, dtype)
+
+    out = jax.jit(
+        lambda *a: deform_conv2d_pallas(*a, max_displacement=d, anchor=True)
+    )(x, off, mask, wgt)
+    ref = jax.jit(lambda *a: deform_conv2d(*a, None))(
+        x.astype(jnp.float32), off, mask, wgt.astype(jnp.float32))
+    err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+    assert err <= tol, err
+
+
+@requires_tpu
+def test_compiled_anchored_shared_s2d():
+    """The anchored HR dcn_3 deployment shape (shared taps + shared mask +
+    s2d(4)) compiled on-chip vs the shared-offset gather oracle."""
+    from crfp_tpu.ops.dcn import deform_conv2d_shared_offset
+    from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas
+    from crfp_tpu.ops.shuffle import pixel_shuffle, pixel_unshuffle
+
+    rng = np.random.default_rng(8)
+    n, h, w, c, d, r = 1, 64, 64, 4, 32, 4
+    r2 = r * r
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    base = jnp.asarray([37.0, -35.0], jnp.float32)  # beyond ±32
+    shared = base + jnp.asarray(rng.uniform(-3, 3, (n, h, w, 1, 1, 2)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(0, 1, (n, h, w, 1, 1)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32)
+
+    ref = jax.jit(
+        lambda *a: deform_conv2d_shared_offset(*a, None)
+    )(x, shared[:, :, :, 0, 0, :],
+      jnp.broadcast_to(mask[..., :1], (n, h, w, 1, 9))[:, :, :, 0, :], wgt)
+
+    xs = pixel_unshuffle(x, r)
+    offs = pixel_unshuffle(shared.reshape(n, h, w, 2), r).reshape(
+        n, h // r, w // r, 1, 1, 2, r2)
+    masks = pixel_unshuffle(mask.reshape(n, h, w, 1), r).reshape(
+        n, h // r, w // r, 1, 1, r2)
+    out = jax.jit(
+        lambda *a: deform_conv2d_pallas(
+            *a, max_displacement=d, shared_taps=True, shared_mask=True,
+            s2d=r, anchor=True)
+    )(xs, offs, masks, wgt)
+    err = float(jnp.abs(pixel_shuffle(out, r) - ref).max())
+    assert err <= 5e-5, err
