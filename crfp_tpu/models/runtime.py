@@ -261,6 +261,13 @@ class CRFPRuntimeV18(nn.Module):
         lv3 = lrelu(lv3)
         out = self.conv_last(lv3)
         if self.cfg.hr_s2d:
+            # NOTE: a fused Pallas d2s+residual emission exists
+            # (crfp_tpu/ops/pallas/emit.py) and removes the two ~12 MB
+            # output relayouts — but ANY pallas_call consuming the conv
+            # tail makes XLA's space-to-batch pass roll back the whole HR
+            # conv chain (~5x slower tail, measured net -0.7 ms/frame), so
+            # the XLA pixel_shuffle stays until the tail itself moves into
+            # a kernel (docs/PERF.md round-3 negative results).
             out = pixel_shuffle(out, 4)
         return lv3, out + upsample(lr, self.cfg.scale)
 
@@ -346,6 +353,13 @@ class CRFPRuntimeSimple(nn.Module):
         lv3 = lrelu(lv3)
         out = self.conv_last(lv3)
         if self.cfg.hr_s2d:
+            # NOTE: a fused Pallas d2s+residual emission exists
+            # (crfp_tpu/ops/pallas/emit.py) and removes the two ~12 MB
+            # output relayouts — but ANY pallas_call consuming the conv
+            # tail makes XLA's space-to-batch pass roll back the whole HR
+            # conv chain (~5x slower tail, measured net -0.7 ms/frame), so
+            # the XLA pixel_shuffle stays until the tail itself moves into
+            # a kernel (docs/PERF.md round-3 negative results).
             out = pixel_shuffle(out, 4)
         return lv3, out + upsample(lr, self.cfg.scale)
 
