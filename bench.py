@@ -22,6 +22,11 @@ The model runs in the TPU-native inference configuration:
   numerically-exact kernel-rearranged convs at C=48-64 instead of C<=6,
   so TPU HBM tile padding stops inflating every HR pass
   (tests/test_models.py::test_hr_s2d_bit_equivalence_v18).
+- per-cell anchored windows (dcn_anchor): each kernel grid cell's source
+  window DMA starts at the cell's quantized mean displacement, so the
+  halo covers only the residual spread — less stage-1 MXU work/DMA and a
+  HIGHER effective displacement range (anchor±residual) for
+  cell-coherent motion (tests/test_pallas_dcn.py::test_anchor*).
 - bfloat16 weights/activations on the systolic array with f32
   accumulation (56 dB agreement with the f32 parity path;
   tests/test_bf16.py).
@@ -51,6 +56,7 @@ def main() -> None:
         dcn_window_hr=32,
         bf16=True,
         hr_s2d=True,
+        dcn_anchor=True,
         fused=True,
     )
     fps = res.frames_per_sec

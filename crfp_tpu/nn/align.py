@@ -46,13 +46,15 @@ def _windowed_dcn(x, off, mask, weight, bias, window: int, shared: bool = False,
         from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_vjp
 
         # band 32 -> P=1024 queries/grid-cell: the MXU stages run ~1.15x
-        # faster than at P=512 (round-3 tile sweep, docs/PERF.md); the
-        # shared-tap HR shape measured indifferent, so it keeps the
-        # default. f32 (the training path) stays at band 8: its Mosaic
-        # stack peaks run ~2.2x over the static estimate at the small-cpg
-        # training shapes (observed 16.11M vs 7.3M est at mid=16), which
-        # the VMEM guard cannot reliably predict.
-        band = 32 if (not shared and x.dtype == jnp.bfloat16) else 8
+        # faster than at P=512 (round-3 tile sweep, docs/PERF.md). The
+        # shared-tap HR shape measured indifferent UNANCHORED (~4.0 ms at
+        # every geometry) but prefers band 32 once anchoring shrinks the
+        # halo (3.34 vs 3.58 ms standalone, anchored sweep). f32 (the
+        # training path) stays at band 8: its Mosaic stack peaks run
+        # ~2.2x over the static estimate at the small-cpg training shapes
+        # (observed 16.11M vs 7.3M est at mid=16), which the VMEM guard
+        # cannot reliably predict.
+        band = 32 if (x.dtype == jnp.bfloat16 and (not shared or anchor)) else 8
         return deform_conv2d_pallas_vjp(
             x, off, mask, weight, bias, max_displacement=window,
             shared_taps=shared, shared_mask=shared_mask, s2d=s2d,

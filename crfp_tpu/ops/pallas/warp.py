@@ -73,9 +73,13 @@ def flow_warp_windowed_pallas_s2d(
     dx = flow_s2d[..., :r2]
     off = jnp.stack([dy, dx], axis=-2)[:, :, :, None, None]  # (n,hs,ws,1,1,2,r2)
     eye = jnp.eye(c, dtype=x_s2d.dtype).reshape(1, 1, c, c)
+    # in s2d layout the grid has H/r rows, so the band sweep lands lower
+    # than the full-res path's 64: band 32 measures 1.45 ms vs 1.94 at
+    # band 64 (720^2 ROI state, D=32; 1.04 vs 1.61 anchored — round-3
+    # sweep, docs/PERF.md).
     return deform_conv2d_pallas_vjp(
         x_s2d, off, None, eye, None,
-        max_displacement=max_displacement, band=64, xtile=32, s2d=r,
+        max_displacement=max_displacement, band=32, xtile=32, s2d=r,
         anchor=anchor, interpret=interpret,
     )
 
