@@ -55,7 +55,7 @@ from crfp_tpu.nn.layers import (
 from crfp_tpu.nn.lte import LTESimpleHR, LTESimpleHRPS, LTESimpleHRSingle, LTESimpleLR
 from crfp_tpu.ops.color import rgb2y
 from crfp_tpu.ops.shuffle import pixel_shuffle, pixel_unshuffle
-from crfp_tpu.ops.resize import resize_bilinear, upsample
+from crfp_tpu.ops.resize import resize_bilinear, upsample, upsample_s2d
 from crfp_tpu.ops.warp import flow_warp
 
 State = dict[str, Any]
@@ -306,7 +306,13 @@ class CRFP(nn.Module):
         y = lrelu(y)
         out = self.conv_last(y)
         if self.cfg.hr_s2d:
-            out = pixel_shuffle(out, 4)
+            # bilinear base emitted straight in s2d(4) and added dense:
+            # the full-res (OH,OW,C<=3) base frame (42x lane padding) is
+            # never materialized and only the summed frame pays the one
+            # unavoidable output relayout
+            cfg = self.cfg
+            base = upsample_s2d(rgb2y(lr) if cfg.y_only else lr, cfg.scale, 4)
+            return y, pixel_shuffle(out + base, 4)
         return y, out + self._base(lr)
 
     def _cra_blend(self, x, x_hr_lv, mk_lv2, idx):
@@ -455,7 +461,8 @@ class CRFP(nn.Module):
                 # the kernels sample at full resolution but fold every
                 # relayout into their prep/post transposes, so no
                 # pixel_shuffle round trips are materialized
-                flow_s2d = pixel_unshuffle(flow_lv0, 4)
+                flow_s2d = upsample_s2d(flow, cfg.scale, 4) * float(cfg.scale)
+                # (the full-res flow_lv0 is dead in this branch and DCE'd)
                 lv3_state = self.downsample(hr_state, pre_shuffled=True,
                                             out_s2d=2 if cfg.lv3_s2d else 1)
                 hr_warped = self._warp_hr_s2d(hr_state, flow_s2d)
@@ -557,7 +564,8 @@ class CRFP(nn.Module):
             if cfg.hr_s2d:
                 # state lives in s2d(4), exactly as in the DSV branch above
                 o2 = 2 if cfg.lv3_s2d else 1
-                flow_s2d = pixel_unshuffle(flow_lv0, 4)
+                flow_s2d = upsample_s2d(flow, cfg.scale, 4) * float(cfg.scale)
+                # (the full-res flow_lv0 is dead in this branch and DCE'd)
                 hr_warped = self._warp_hr_s2d(hr_state, flow_s2d)
                 lv3_warped = self.downsample(hr_warped, pre_shuffled=True,
                                              out_s2d=o2)

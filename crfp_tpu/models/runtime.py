@@ -37,7 +37,7 @@ from crfp_tpu.nn.layers import (
     lrelu,
 )
 from crfp_tpu.nn.lte import LTESimpleHRSingle, LTESimpleLR
-from crfp_tpu.ops.resize import upsample
+from crfp_tpu.ops.resize import upsample, upsample_s2d
 from crfp_tpu.ops.shuffle import pixel_shuffle, pixel_unshuffle
 from crfp_tpu.ops.warp import flow_warp
 
@@ -191,7 +191,7 @@ class CRFPRuntimeV18(nn.Module):
         if cfg.hr_s2d:
             # state/flow/warp/dcn_3 all stay in s2d(4); the kernels fold
             # the relayouts into their prep/post transposes
-            flow_s2d = pixel_unshuffle(flow_lv0, 4)
+            flow_s2d = upsample_s2d(flow, cfg.scale, 4) * float(cfg.scale)
             hr_warped = flow_warp_maybe_windowed_s2d(
                 hr_state, flow_s2d, cfg.dcn_window_hr, anchor=cfg.dcn_anchor)
             o2 = 2 if cfg.lv3_s2d else 1
@@ -261,14 +261,15 @@ class CRFPRuntimeV18(nn.Module):
         lv3 = lrelu(lv3)
         out = self.conv_last(lv3)
         if self.cfg.hr_s2d:
-            # NOTE: a fused Pallas d2s+residual emission exists
-            # (crfp_tpu/ops/pallas/emit.py) and removes the two ~12 MB
-            # output relayouts — but ANY pallas_call consuming the conv
-            # tail makes XLA's space-to-batch pass roll back the whole HR
-            # conv chain (~5x slower tail, measured net -0.7 ms/frame), so
-            # the XLA pixel_shuffle stays until the tail itself moves into
-            # a kernel (docs/PERF.md round-3 negative results).
-            out = pixel_shuffle(out, 4)
+            # bilinear base emitted straight in s2d(4) and added dense, so
+            # only the summed frame pays the one unavoidable output
+            # relayout. (A fused Pallas d2s+residual emission exists —
+            # crfp_tpu/ops/pallas/emit.py — but ANY pallas_call consuming
+            # the conv tail makes XLA's space-to-batch pass roll back the
+            # whole HR conv chain, a measured net loss; docs/PERF.md
+            # round-3 negative results.)
+            base = upsample_s2d(lr, self.cfg.scale, 4)
+            return lv3, pixel_shuffle(out + base, 4)
         return lv3, out + upsample(lr, self.cfg.scale)
 
 
@@ -353,14 +354,15 @@ class CRFPRuntimeSimple(nn.Module):
         lv3 = lrelu(lv3)
         out = self.conv_last(lv3)
         if self.cfg.hr_s2d:
-            # NOTE: a fused Pallas d2s+residual emission exists
-            # (crfp_tpu/ops/pallas/emit.py) and removes the two ~12 MB
-            # output relayouts — but ANY pallas_call consuming the conv
-            # tail makes XLA's space-to-batch pass roll back the whole HR
-            # conv chain (~5x slower tail, measured net -0.7 ms/frame), so
-            # the XLA pixel_shuffle stays until the tail itself moves into
-            # a kernel (docs/PERF.md round-3 negative results).
-            out = pixel_shuffle(out, 4)
+            # bilinear base emitted straight in s2d(4) and added dense, so
+            # only the summed frame pays the one unavoidable output
+            # relayout. (A fused Pallas d2s+residual emission exists —
+            # crfp_tpu/ops/pallas/emit.py — but ANY pallas_call consuming
+            # the conv tail makes XLA's space-to-batch pass roll back the
+            # whole HR conv chain, a measured net loss; docs/PERF.md
+            # round-3 negative results.)
+            base = upsample_s2d(lr, self.cfg.scale, 4)
+            return lv3, pixel_shuffle(out + base, 4)
         return lv3, out + upsample(lr, self.cfg.scale)
 
     def _roi(self, lv3):
@@ -394,7 +396,7 @@ class CRFPRuntimeSimple(nn.Module):
         )
 
         if cfg.hr_s2d:
-            flow_s2d = pixel_unshuffle(flow_lv0, 4)
+            flow_s2d = upsample_s2d(flow, cfg.scale, 4) * float(cfg.scale)
             hr_warped = flow_warp_maybe_windowed_s2d(
                 hr_state, flow_s2d, cfg.dcn_window_hr, anchor=cfg.dcn_anchor)
             lv3_warped = self.downsample(hr_warped, pre_shuffled=True)

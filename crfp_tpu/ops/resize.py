@@ -92,6 +92,43 @@ def upsample(x: jax.Array, scale: int | float, align_corners: bool = False) -> j
     return resize_bilinear(x, (oh, ow), align_corners=align_corners)
 
 
+def upsample_s2d(x: jax.Array, scale: int | float, r: int = 4,
+                 align_corners: bool = False) -> jax.Array:
+    """``pixel_unshuffle(upsample(x, scale), r)`` without materializing the
+    full-resolution frame: the interpolation matrices are viewed with their
+    output rows split into (block, phase), so the contraction emits the
+    space-to-depth layout (N, OH/r, OW/r, C*r^2) directly with the dense
+    c-major channel order.
+
+    Same nested h-then-w dots as :func:`resize_bilinear` per output
+    element, so it matches the relayout formulation to float noise. The
+    full-res path writes/reads a (OH, OW, C) frame at C-lane padding
+    (C=2-3 pads ~42-64x on TPU) and then pays a second relayout copy;
+    here every intermediate keeps >=C*r lanes and the s2d result feeds
+    the HR tail directly (used by the hr_s2d models' bilinear base and
+    the 8x flow upsample, crfp_tpu/models/runtime.py)."""
+    n, h, w, c = x.shape
+    oh = int(np.floor(h * scale))
+    ow = int(np.floor(w * scale))
+    assert oh % r == 0 and ow % r == 0, ((oh, ow), r)
+    dtype = x.dtype
+    if dtype == jnp.bfloat16:
+        prec, work = None, jnp.bfloat16
+    else:
+        prec, work = jax.lax.Precision.HIGHEST, jnp.float32
+    xf = x.astype(work)
+    mh = jnp.asarray(_bilinear_matrix(h, oh, align_corners)).astype(work)
+    mw = jnp.asarray(_bilinear_matrix(w, ow, align_corners)).astype(work)
+    mh_s = mh.reshape(oh // r, r, h)  # (Y, py, h)
+    mw_s = mw.reshape(ow // r, r, w)  # (X, px, w)
+    # h first then w, mirroring resize_bilinear's contraction order
+    t = jnp.einsum("Yph,nhwc->nYwcp", mh_s, xf, precision=prec,
+                   preferred_element_type=jnp.float32).astype(work)
+    o = jnp.einsum("Xqw,nYwcp->nYXcpq", mw_s, t, precision=prec,
+                   preferred_element_type=jnp.float32)
+    return o.reshape(n, oh // r, ow // r, c * r * r).astype(dtype)
+
+
 def avg_pool_2x(x: jax.Array) -> jax.Array:
     """2x2/stride-2 average pool (torch ``F.avg_pool2d(k=2, s=2)``).
 

@@ -5,7 +5,13 @@ import pytest
 import torch
 import torch.nn.functional as F
 
-from crfp_tpu.ops.resize import avg_pool_2x, resize_bilinear, upsample
+from crfp_tpu.ops.resize import (
+    avg_pool_2x,
+    resize_bilinear,
+    upsample,
+    upsample_s2d,
+)
+from crfp_tpu.ops.shuffle import pixel_unshuffle
 
 
 def _rand(n, h, w, c, seed=0):
@@ -35,6 +41,19 @@ def test_upsample_scale_factor(scale):
     want = F.interpolate(xt, scale_factor=scale, mode="bilinear", align_corners=False)
     want = want.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("scale,r,hw,c", [
+    (8, 4, (9, 12), 3),    # the 8x bilinear base at LR-like odd sizes
+    (8, 4, (15, 24), 2),   # the 8x flow upsample (2 channels)
+    (2, 2, (10, 14), 4),   # lv3_s2d-style r=2
+    (4, 4, (8, 8), 1),
+])
+def test_upsample_s2d_matches_relayout(scale, r, hw, c):
+    x = _rand(1, *hw, c, seed=3)
+    got = np.asarray(upsample_s2d(x, scale, r))
+    want = np.asarray(pixel_unshuffle(upsample(x, scale), r))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
 
 
 def test_avg_pool_2x():
