@@ -185,14 +185,21 @@ class DCNAlign(nn.Module):
         zero = nn.initializers.zeros
         if self.repeat:
             raw = conv_cls(g * 2, kernel_init=zero, bias_init=zero, name="dcn_offset")(feat)
-            raw = self.max_residue_magnitude * jnp.tanh(raw)
+            # per-component 10*tanh: splitting BEFORE the tanh gives each
+            # tanh a single consumer chain (the kernel prep's ly or lx
+            # side), so XLA fuses it into the prep transpose instead of
+            # materializing the packed offset tensor — tanh counts as
+            # "expensive" to the fusion heuristic and is never duplicated
+            # across the two consumers (round-3 device trace: 4 standalone
+            # tanh_multiply passes, ~0.24 ms each). Same math either way.
+            mag = self.max_residue_magnitude
             if self.s2d and self.window is not None:
                 # keep EVERYTHING in s2d: offsets/mask stay in phase layout
                 # and the kernel consumes/produces s2d directly (its prep
                 # transposes absorb the relayout). raw s2d channels:
                 # [y x r2 phases | x x r2]; flow s2d: [dx x r2 | dy x r2].
-                off_y = raw[..., :r2] + flow[..., r2:2 * r2]
-                off_x = raw[..., r2:] + flow[..., :r2]
+                off_y = mag * jnp.tanh(raw[..., :r2]) + flow[..., r2:2 * r2]
+                off_x = mag * jnp.tanh(raw[..., r2:]) + flow[..., :r2]
                 off = jnp.stack([off_y, off_x], axis=-2)[:, :, :, None, None]
                 mask = conv_cls(g, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
                 mask = jax.nn.sigmoid(mask)[:, :, :, None, None, :]  # (n,hs,ws,1,1,r2)
@@ -207,17 +214,17 @@ class DCNAlign(nn.Module):
                 # exact-gather fallback: shuffle up to the full-res layout
                 # (correctness path; the windowed kernel above is the TPU
                 # deployment path)
-                off_y = raw[..., :r2] + flow[..., r2:2 * r2]
-                off_x = raw[..., r2:] + flow[..., :r2]
+                off_y = mag * jnp.tanh(raw[..., :r2]) + flow[..., r2:2 * r2]
+                off_x = mag * jnp.tanh(raw[..., r2:]) + flow[..., :r2]
                 off_hr = pixel_shuffle(jnp.concatenate([off_y, off_x], axis=-1), r)
                 n, h, w, _ = off_hr.shape
                 off = off_hr.reshape(n, h, w, 1, 2)
             else:
                 n, h, w, _ = feat.shape
                 # torch packs repeat offsets as [y*g..., x*g...]; g == 1 here
-                off = raw.reshape(n, h, w, 2, g).transpose(0, 1, 2, 4, 3)  # (n,h,w,g,2)
-                off = off.at[..., 0].add(flow[..., 1][..., None])
-                off = off.at[..., 1].add(flow[..., 0][..., None])
+                off_y = mag * jnp.tanh(raw[..., :g]) + flow[..., 1][..., None]
+                off_x = mag * jnp.tanh(raw[..., g:]) + flow[..., 0][..., None]
+                off = jnp.stack([off_y, off_x], axis=-1)  # (n,h,w,g,2)
             if self.offset_only:
                 assert not self.s2d
                 mask = Conv(g * k2, kernel_init=zero, bias_init=zero, name="dcn_mask")(feat)
@@ -256,24 +263,28 @@ class DCNAlign(nn.Module):
             n, h, w, _ = feat.shape
             raw = conv_cls(g * 2 * k2, kernel_init=zero, bias_init=zero,
                            name="dcn_offset")(feat)
-            raw = self.max_residue_magnitude * jnp.tanh(raw)
             mask = conv_cls(g * k2, kernel_init=zero, bias_init=zero,
                             name="dcn_mask")(feat)
             mask = jax.nn.sigmoid(mask)
+            # per-component 10*tanh (single consumer per tanh -> it fuses
+            # into the kernel prep; see the repeat branch note)
+            mag = self.max_residue_magnitude
             if self.s2d:
                 # ConvS2D output is c-major (channel = c*r^2 + phase), and
                 # the logical channels enumerate (g, k2, 2) exactly as in
                 # the native-grid reshape below, so the kernel's s2d
                 # operand shapes fall straight out. flow s2d channels:
                 # [dx x r2 | dy x r2].
-                off = raw.reshape(n, h, w, g, k2, 2, r2)
-                off = off.at[..., 0, :].add(flow[..., r2:2 * r2][:, :, :, None, None, :])
-                off = off.at[..., 1, :].add(flow[..., :r2][:, :, :, None, None, :])
+                raw = raw.reshape(n, h, w, g, k2, 2, r2)
+                off_y = mag * jnp.tanh(raw[..., 0, :]) + flow[..., r2:2 * r2][:, :, :, None, None, :]
+                off_x = mag * jnp.tanh(raw[..., 1, :]) + flow[..., :r2][:, :, :, None, None, :]
+                off = jnp.stack([off_y, off_x], axis=-2)
                 mask = mask.reshape(n, h, w, g, k2, r2)
             else:
-                off = raw.reshape(n, h, w, g, k2, 2)
-                off = off.at[..., 0].add(flow[..., 1][..., None, None])
-                off = off.at[..., 1].add(flow[..., 0][..., None, None])
+                raw = raw.reshape(n, h, w, g, k2, 2)
+                off_y = mag * jnp.tanh(raw[..., 0]) + flow[..., 1][..., None, None]
+                off_x = mag * jnp.tanh(raw[..., 1]) + flow[..., 0][..., None, None]
+                off = jnp.stack([off_y, off_x], axis=-1)
                 mask = mask.reshape(n, h, w, g, k2)
 
         weight = self.param("dcn_weight", _identity_kernel_init, (k, k, m, m))
