@@ -57,6 +57,7 @@ def main() -> None:
         bf16=True,
         hr_s2d=True,
         dcn_anchor=True,
+        emit_s2d=True,
         fused=True,
     )
     fps = res.frames_per_sec

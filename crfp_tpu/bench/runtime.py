@@ -74,14 +74,22 @@ def run_runtime_bench(
     hr_s2d: bool = False,
     lv3_s2d: bool = False,
     dcn_anchor: bool = False,
+    emit_s2d: bool = False,
     fused: bool = False,
 ) -> BenchResult:
     """``fused``: time one jitted flow+encode+step program per frame with a
     single sync per rep chain (the deployment number — the per-stage mode
-    pays the ~28 ms axon dispatch floor at every stage boundary)."""
+    pays the ~28 ms axon dispatch floor at every stage boundary).
+    ``emit_s2d``: the step returns the s2d frame and a separate tiny
+    jitted program runs the Mosaic depth-to-space emission per frame
+    (requires ``fused``; the emission program is timed as part of the
+    chain)."""
+    if emit_s2d:
+        assert fused, "emit_s2d is a fused-deployment configuration"
     cfg = ModelConfig(variant="v18", mid_channels=mid_channels,
                       dcn_window=dcn_window, dcn_window_hr=dcn_window_hr,
-                      hr_s2d=hr_s2d, lv3_s2d=lv3_s2d, dcn_anchor=dcn_anchor)
+                      hr_s2d=hr_s2d, lv3_s2d=lv3_s2d, dcn_anchor=dcn_anchor,
+                      emit_s2d=emit_s2d)
     model = CRFPRuntimeV18(cfg, warp_size=warp_size)
     lr_h, lr_w = PRESETS[preset]["lr"]
     rng = np.random.default_rng(seed)
@@ -134,12 +142,23 @@ def run_runtime_bench(
 
         frame0_fn = jax.jit(frame0)
 
+        if emit_s2d:
+            from crfp_tpu.ops.pallas.emit import emit_frame_nhwc
+
+            # its OWN program, on purpose: in-step the Mosaic call rolls
+            # back XLA's space-to-batch conv rewrites (docs/PERF.md)
+            emit_fn = jax.jit(emit_frame_nhwc)
+        else:
+            emit_fn = lambda y: y  # noqa: E731
+
         def chain(n_reps):
             out = None
             for _ in range(n_reps):
                 state, out = frame0_fn(params, lr, fv)
+                out = emit_fn(out)
                 for _ in range(t - 1):
                     (state, out) = frame_fn(params, state, lr, lr, fv)
+                    out = emit_fn(out)
             return out
 
         force_sync(chain(max(1, warm_up)))

@@ -109,6 +109,13 @@ class ModelConfig:
     # INFERENCE-ONLY: differentiating an anchored op raises. The 1/4-res
     # stages keep plain windows (their ±8 halo is already quantum-sized).
     dcn_anchor: bool = False
+    # runtime models only: the step returns the output frame in s2d(4)
+    # layout and the caller finishes with ops.pallas.emit.emit_frame_nhwc
+    # jitted as its OWN tiny program — the Mosaic interleave replaces the
+    # step's final 1080p transpose+reshape relayout pair, and keeping the
+    # kernel out of the step program preserves XLA's space-to-batch conv
+    # rewrites (docs/PERF.md round-3). Requires hr_s2d.
+    emit_s2d: bool = False
 
     @property
     def last_channels(self) -> int:
@@ -145,6 +152,9 @@ class CRFP(nn.Module):
             assert cfg.hr_s2d, "lv3_s2d builds on the hr_s2d tail"
             assert cfg.dcn_window is not None, (
                 "lv3_s2d requires the windowed DCN (s2d kernel operands)")
+        assert not cfg.emit_s2d, (
+            "emit_s2d is a runtime-model deployment knob (the batch trunk "
+            "emits whole clips; its output relayout amortizes over T)")
         if cfg.variant in ("no_dcn", "basic_fvsr"):
             # the reference's hr_dcn=True branches of these models reference
             # undefined locals (CRFP.py:1895-1938, 2245-2247) — only the

@@ -91,6 +91,8 @@ class CRFPRuntimeV18(nn.Module):
             assert cfg.hr_s2d and cfg.dcn_window is not None
             assert all(v % 8 == 0 for v in self.warp_size), (
                 "lv3_s2d ROI crops must be s2d(2)-block-aligned at 1/4 res")
+        if cfg.emit_s2d:
+            assert cfg.hr_s2d, "emit_s2d emits the hr_s2d tail's s2d frame"
         m, last = cfg.mid_channels, cfg.last_channels
         dg, dk, mag = cfg.deform_groups, cfg.dcn_kernel, cfg.max_residue_magnitude
         self.spynet = FNet()
@@ -263,13 +265,15 @@ class CRFPRuntimeV18(nn.Module):
         if self.cfg.hr_s2d:
             # bilinear base emitted straight in s2d(4) and added dense, so
             # only the summed frame pays the one unavoidable output
-            # relayout. (A fused Pallas d2s+residual emission exists —
-            # crfp_tpu/ops/pallas/emit.py — but ANY pallas_call consuming
-            # the conv tail makes XLA's space-to-batch pass roll back the
-            # whole HR conv chain, a measured net loss; docs/PERF.md
-            # round-3 negative results.)
-            base = upsample_s2d(lr, self.cfg.scale, 4)
-            return lv3, pixel_shuffle(out + base, 4)
+            # relayout. With emit_s2d the frame is returned in s2d layout
+            # and the CALLER runs ops.pallas.emit.emit_frame_nhwc as a
+            # separate program — an in-step pallas_call would make XLA's
+            # space-to-batch pass roll back the whole HR conv chain
+            # (measured net loss; docs/PERF.md round-3).
+            out = out + upsample_s2d(lr, self.cfg.scale, 4)
+            if self.cfg.emit_s2d:
+                return lv3, out
+            return lv3, pixel_shuffle(out, 4)
         return lv3, out + upsample(lr, self.cfg.scale)
 
 
@@ -298,6 +302,8 @@ class CRFPRuntimeSimple(nn.Module):
     def setup(self):
         cfg = self.cfg
         assert cfg.variant in ("v13", "v15"), cfg.variant
+        if cfg.emit_s2d:
+            assert cfg.hr_s2d, "emit_s2d emits the hr_s2d tail's s2d frame"
         m, last = cfg.mid_channels, cfg.last_channels
         dg, dk, mag = cfg.deform_groups, cfg.dcn_kernel, cfg.max_residue_magnitude
         self.spynet = FNet()
@@ -356,13 +362,15 @@ class CRFPRuntimeSimple(nn.Module):
         if self.cfg.hr_s2d:
             # bilinear base emitted straight in s2d(4) and added dense, so
             # only the summed frame pays the one unavoidable output
-            # relayout. (A fused Pallas d2s+residual emission exists —
-            # crfp_tpu/ops/pallas/emit.py — but ANY pallas_call consuming
-            # the conv tail makes XLA's space-to-batch pass roll back the
-            # whole HR conv chain, a measured net loss; docs/PERF.md
-            # round-3 negative results.)
-            base = upsample_s2d(lr, self.cfg.scale, 4)
-            return lv3, pixel_shuffle(out + base, 4)
+            # relayout. With emit_s2d the frame is returned in s2d layout
+            # and the CALLER runs ops.pallas.emit.emit_frame_nhwc as a
+            # separate program — an in-step pallas_call would make XLA's
+            # space-to-batch pass roll back the whole HR conv chain
+            # (measured net loss; docs/PERF.md round-3).
+            out = out + upsample_s2d(lr, self.cfg.scale, 4)
+            if self.cfg.emit_s2d:
+                return lv3, out
+            return lv3, pixel_shuffle(out, 4)
         return lv3, out + upsample(lr, self.cfg.scale)
 
     def _roi(self, lv3):

@@ -64,9 +64,15 @@ def _emit_kernel(y_ref, m_ref, res_ref, out_ref, *, r, n_j, xs_per, bs,
             u = jnp.concatenate(
                 [y_ref[0, 0, py * r + px, :, pl.dslice(j * xs_per, xs_per)]
                  for px in range(r)], axis=1)  # (bs, 128)
+            # the interleave matrix is 0/1 (each output = one u element):
+            # exact as long as u itself is not rounded — pin HIGHEST for
+            # f32 inputs (default MXU pass rounds operands to bf16,
+            # ~4e-3 relative error measured on-chip)
             tiles.append(jax.lax.dot_general(
                 u, m, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
+                preferred_element_type=jnp.float32,
+                precision=(None if u.dtype == jnp.bfloat16
+                           else jax.lax.Precision.HIGHEST)))
         rows.append(jnp.concatenate(tiles, axis=1))  # (bs, w_out) f32
     blk = jnp.stack(rows, axis=1).reshape(bs * r, w_out)
     if has_res:
@@ -136,7 +142,12 @@ def depth_to_space_add_chw(
         has_res=res_chw is not None,
     )
     in_specs = [
-        pl.BlockSpec((1, 1, r2, bs, ws), lambda ni, bi, ci: (ni, ci, bi, 0, 0),
+        # block covers the whole r2 dim -> its block index is 0; the band
+        # index bi selects along the ROWS dim (a bi-on-r2 mixup here is
+        # invisible to single-band shapes — every original interpret test
+        # had nb == 1 — and silently reads band 0 for every band when
+        # compiled; caught by the on-chip multi-band probe, round 3)
+        pl.BlockSpec((1, 1, r2, bs, ws), lambda ni, bi, ci: (ni, ci, 0, bi, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # the 128x128 constant
     ]
@@ -171,6 +182,25 @@ def depth_to_space_add_chw(
     return out
 
 
+def emit_frame_nhwc(y_s2d: jax.Array, r: int = 4) -> jax.Array:
+    """Final-frame emission for ``ModelConfig.emit_s2d``: depth-to-space
+    the model's s2d sum frame and return the logical NHWC frame.
+
+    On TPU this is the Mosaic interleave kernel; its planar (N,C,H,W)
+    output is byte-identical to the {2,1,3,0} layout XLA assigns the
+    frame anyway, so the trailing transpose is a free relabeling. MUST be
+    jitted as its OWN program: a pallas_call inside the step program
+    makes XLA's space-to-batch pass roll back the HR conv chain
+    (docs/PERF.md round-3 negative results) — as a separate per-frame
+    program it replaces the step's 1.6 ms transpose+reshape relayout pair
+    with one MXU interleave. Elsewhere: the plain XLA pixel_shuffle."""
+    if jax.default_backend() == "tpu":
+        return depth_to_space_add_chw(y_s2d, None, r=r).transpose(0, 2, 3, 1)
+    from crfp_tpu.ops.shuffle import pixel_shuffle
+
+    return pixel_shuffle(y_s2d, r)
+
+
 def upsample_planar(x_nhwc: jax.Array, scale: int,
                     align_corners: bool = False,
                     pad_to: int | None = None) -> jax.Array:
@@ -202,4 +232,5 @@ def upsample_planar(x_nhwc: jax.Array, scale: int,
     return xf.astype(dtype)
 
 
-__all__ = ["depth_to_space_add_chw", "upsample_planar", "emit_res_rows"]
+__all__ = ["depth_to_space_add_chw", "emit_frame_nhwc", "upsample_planar",
+           "emit_res_rows"]

@@ -25,6 +25,7 @@ def main():
     p.add_argument("--hr_s2d", action="store_true")
     p.add_argument("--lv3_s2d", action="store_true")
     p.add_argument("--dcn_anchor", action="store_true")
+    p.add_argument("--emit_s2d", action="store_true")
     p.add_argument("--fused", action="store_true",
                    help="one jitted flow+enc+step program per frame, one sync "
                         "per rep chain (deployment number)")
@@ -50,6 +51,7 @@ def main():
         hr_s2d=args.hr_s2d,
         lv3_s2d=args.lv3_s2d,
         dcn_anchor=args.dcn_anchor,
+        emit_s2d=args.emit_s2d,
         fused=args.fused,
     )
     print(res)

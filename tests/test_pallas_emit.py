@@ -26,6 +26,19 @@ def test_d2s_add_matches_shuffle_plus_base():
         atol=1e-5, rtol=1e-5)
 
 
+def test_d2s_multi_band():
+    # hs=96 -> band 48, TWO bands: regression for the index_map bug where
+    # the band index landed on the r2 dim (every band read band 0's rows;
+    # invisible to the single-band shapes all other tests use)
+    rng = np.random.default_rng(7)
+    n, hs, ws, c, r = 1, 96, 32, 3, 4
+    y = jnp.asarray(rng.standard_normal((n, hs, ws, c * r * r)), jnp.float32)
+    got = depth_to_space_add_chw(y, None, r=r, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got.transpose(0, 2, 3, 1)), np.asarray(pixel_shuffle(y, r)),
+        atol=1e-5, rtol=1e-5)
+
+
 def test_d2s_no_residual_and_partial_band():
     rng = np.random.default_rng(1)
     n, hs, ws, c, r = 1, 38, 32, 3, 4  # 38 rows: partial last band (bs=32)

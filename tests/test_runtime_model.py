@@ -181,3 +181,37 @@ def test_runtime_lv3_s2d_equivalence():
     for got, want in zip(gots, wants):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=5e-5, rtol=1e-4)
+
+
+def test_runtime_emit_s2d_equivalence():
+    # emit_s2d returns the s2d-layout frame; finishing it with
+    # emit_frame_nhwc (pixel_shuffle off-TPU) must reproduce the native
+    # hr_s2d model's frames exactly under the same parameters
+    from crfp_tpu.models.runtime import CRFPRuntimeV18
+    from crfp_tpu.ops.pallas.emit import emit_frame_nhwc
+
+    h, w = 16, 24
+    wp = (64, 64)
+    rng = np.random.default_rng(9)
+    lr = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    lr2 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    fv = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+
+    def run(mdl):
+        x_lr, x_hr = mdl.encode(lr, fv)
+        state, out0 = mdl.step0(lr, x_lr, x_hr)
+        state, out1 = mdl.step(state, lr2, lr, x_lr, x_hr)
+        return out0, out1
+
+    kw = dict(variant="v18", mid_channels=16, hr_s2d=True,
+              dcn_window=8, dcn_window_hr=32)
+    m0 = CRFPRuntimeV18(ModelConfig(**kw), warp_size=wp)
+    params = m0.init(jax.random.PRNGKey(0), method=run)
+    wants = m0.apply(params, method=run)
+
+    m1 = CRFPRuntimeV18(ModelConfig(**kw, emit_s2d=True), warp_size=wp)
+    gots = m1.apply(params, method=run)
+    for got, want in zip(gots, wants):
+        np.testing.assert_allclose(
+            np.asarray(emit_frame_nhwc(got)), np.asarray(want),
+            atol=1e-6, rtol=1e-6)

@@ -262,3 +262,23 @@ def test_compiled_anchored_shared_s2d():
     )(xs, offs, masks, wgt)
     err = float(jnp.abs(pixel_shuffle(out, r) - ref).max())
     assert err <= 5e-5, err
+
+
+@requires_tpu
+@pytest.mark.parametrize("dtype,hs", [(jnp.bfloat16, 270), (jnp.float32, 270),
+                                      (jnp.bfloat16, 96)])
+def test_compiled_emit_frame_matches_pixel_shuffle(dtype, hs):
+    # the emit_s2d deployment path: Mosaic depth-to-space interleave at
+    # the 1080p shape (ragged last band) and a two-full-band shape —
+    # multi-band compiled coverage (the index_map bug class that
+    # single-band interpret tests cannot see)
+    from crfp_tpu.ops.pallas.emit import depth_to_space_add_chw
+    from crfp_tpu.ops.shuffle import pixel_shuffle
+
+    rng = np.random.default_rng(11)
+    ws, c, r = 480 if hs == 270 else 32, 3, 4
+    y = jnp.asarray(rng.standard_normal((1, hs, ws, c * r * r)), dtype)
+    got = np.asarray(
+        jax.jit(lambda a: depth_to_space_add_chw(a, None))(y), np.float32)
+    want = np.asarray(pixel_shuffle(y, r), np.float32).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=2e-6)
