@@ -64,7 +64,13 @@ def run_window_quality(
     frames: int = 6,
     mid_channels: int = 32,
     seed: int = 0,
+    anchor: bool = False,
 ) -> list[WindowQualityResult]:
+    """``anchor``: per-cell anchored windows (TPU kernel only — run this
+    mode on the chip; the CPU fallback keeps the plain clamp). For
+    cell-coherent motion the anchored window follows the displacement, so
+    exactness extends to |anchor| + residual > D (the deployment claim —
+    crfp_tpu/ops/pallas/dcn.py)."""
     h, w = lr_hw
     s = 8
     rng = np.random.default_rng(seed)
@@ -109,7 +115,8 @@ def run_window_quality(
     for v in velocities:
         exact = stream(cfg0, v)
         for d in windows:
-            cfg_w = dataclasses.replace(cfg0, dcn_window=d, dcn_window_hr=4 * d)
+            cfg_w = dataclasses.replace(cfg0, dcn_window=d, dcn_window_hr=4 * d,
+                                        dcn_anchor=anchor)
             win = stream(cfg_w, v)
             mse = float(np.mean((exact - win) ** 2))
             psnr = 99.0 if mse < 1e-12 else float(-10.0 * np.log10(mse))
@@ -118,11 +125,20 @@ def run_window_quality(
 
 
 def main() -> None:
-    for r in run_window_quality():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--anchor", action="store_true")
+    p.add_argument("--windows", type=int, nargs="+", default=[4, 8, 16])
+    args = p.parse_args()
+    mode = "anchored" if args.anchor else "windowed"
+    for r in run_window_quality(windows=tuple(args.windows),
+                                anchor=args.anchor):
         # trunk displacement is 2*v (flow is upsampled x2 and doubled)
         print(
             f"v={r.v_px:4.1f} px/frame (trunk {2*r.v_px:4.1f} px)  "
-            f"D={r.window:2d}  exact-vs-windowed {r.psnr_db:6.2f} dB"
+            f"D={r.window:2d}  exact-vs-{mode} {r.psnr_db:6.2f} dB",
+            flush=True,
         )
 
 
