@@ -109,6 +109,15 @@ class ModelConfig:
     # INFERENCE-ONLY: differentiating an anchored op raises. The 1/4-res
     # stages keep plain windows (their ±8 halo is already quantum-sized).
     dcn_anchor: bool = False
+    # fused-prep windowed kernel for the 1/4-res alignment stages
+    # (dcn_0/1/2): the offset/mask head outputs feed the Mosaic kernel in
+    # their dense conv layout and the per-query data is built in VMEM,
+    # removing the XLA-side cellwise transposes (~0.5 ms/stage at the
+    # runtime shapes — docs/PERF.md levers 2-3). INFERENCE-ONLY (no VJP)
+    # and TPU-backend only (ignored elsewhere). Requires dcn_window;
+    # mutually exclusive with lv3_s2d (the fused kernel takes the native
+    # r=1 layout).
+    dcn_fused: bool = False
     # runtime models only: the step returns the output frame in s2d(4)
     # layout and the caller finishes with ops.pallas.emit.emit_frame_nhwc
     # jitted as its OWN tiny program — the Mosaic interleave replaces the
@@ -152,6 +161,11 @@ class CRFP(nn.Module):
             assert cfg.hr_s2d, "lv3_s2d builds on the hr_s2d tail"
             assert cfg.dcn_window is not None, (
                 "lv3_s2d requires the windowed DCN (s2d kernel operands)")
+        if cfg.dcn_fused:
+            assert cfg.dcn_window is not None, (
+                "dcn_fused is a windowed-kernel dispatch mode")
+            assert not cfg.lv3_s2d, (
+                "the fused-prep kernel takes the native r=1 layout")
         assert not cfg.emit_s2d, (
             "emit_s2d is a runtime-model deployment knob (the batch trunk "
             "emits whole clips; its output relayout amortizes over T)")
@@ -171,7 +185,8 @@ class CRFP(nn.Module):
             self.dcn_2 = PlainAlign(m)
             self.dcn_3 = PlainAlign(m)
         else:
-            t2 = dict(s2d=cfg.lv3_s2d, s2d_r=2)  # lv3 trunk stages
+            t2 = dict(s2d=cfg.lv3_s2d, s2d_r=2,  # lv3 trunk stages
+                      fused_prep=cfg.dcn_fused)
             self.dcn_0 = DCNAlign(m, dg, dk, mag, window=cfg.dcn_window, **t2)
             self.dcn_1 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
                                   window=cfg.dcn_window, **t2)

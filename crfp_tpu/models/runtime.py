@@ -96,7 +96,8 @@ class CRFPRuntimeV18(nn.Module):
         m, last = cfg.mid_channels, cfg.last_channels
         dg, dk, mag = cfg.deform_groups, cfg.dcn_kernel, cfg.max_residue_magnitude
         self.spynet = FNet()
-        t2 = dict(s2d=cfg.lv3_s2d, s2d_r=2)  # 1/4-res trunk stages
+        t2 = dict(s2d=cfg.lv3_s2d, s2d_r=2,  # 1/4-res trunk stages
+                  fused_prep=cfg.dcn_fused)
         self.dcn_0 = DCNAlign(m, dg, dk, mag, window=cfg.dcn_window, **t2)
         self.dcn_1 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
                               window=cfg.dcn_window, **t2)
@@ -307,11 +308,12 @@ class CRFPRuntimeSimple(nn.Module):
         m, last = cfg.mid_channels, cfg.last_channels
         dg, dk, mag = cfg.deform_groups, cfg.dcn_kernel, cfg.max_residue_magnitude
         self.spynet = FNet()
-        self.dcn_0 = DCNAlign(m, dg, dk, mag, window=cfg.dcn_window)
+        t2 = dict(fused_prep=cfg.dcn_fused)
+        self.dcn_0 = DCNAlign(m, dg, dk, mag, window=cfg.dcn_window, **t2)
         self.dcn_1 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
-                              window=cfg.dcn_window)
+                              window=cfg.dcn_window, **t2)
         self.dcn_2 = DCNAlign(m, dg, dk, mag, pre_offset=cfg.offset_prop,
-                              window=cfg.dcn_window)
+                              window=cfg.dcn_window, **t2)
         self.dcn_3 = DCNAlign(last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
                               interpolate="pixelshuffle", window=cfg.dcn_window_hr,
                               s2d=cfg.hr_s2d, anchor=cfg.dcn_anchor)

@@ -132,6 +132,13 @@ class DCNAlign(nn.Module):
     # per-cell anchored windows for the windowed kernel (inference-only;
     # see ModelConfig.dcn_anchor)
     anchor: bool = False
+    # fused-prep windowed kernel (inference-only, TPU backend only): the
+    # offset/mask head outputs feed the Mosaic kernel in their dense conv
+    # layout and the per-query data is built in VMEM, removing the ~5
+    # XLA-side cellwise transposes per stage (docs/PERF.md levers 2-3).
+    # Ignored off-TPU and whenever the structured path is required
+    # (repeat/s2d modes, training). See ModelConfig.dcn_fused.
+    fused_prep: bool = False
 
     @nn.compact
     def __call__(
@@ -266,6 +273,31 @@ class DCNAlign(nn.Module):
             mask = conv_cls(g * k2, kernel_init=zero, bias_init=zero,
                             name="dcn_mask")(feat)
             mask = jax.nn.sigmoid(mask)
+            if (self.fused_prep and self.window is not None and not self.s2d
+                    and jax.default_backend() == "tpu"
+                    and pre_x.dtype == jnp.bfloat16):
+                # bf16 only: the f32 geometry floor exceeds the Mosaic
+                # stack at the model shapes (ops/pallas/dcn.py guard)
+                # fused-prep dispatch: hand the head outputs to the kernel
+                # in their dense conv layout — channel ((g*k2 + k)*2 + c)
+                # for offsets, (g*k2 + k) for the mask — with tanh + flow
+                # + clip fused into the conv epilogues by XLA. Same math
+                # as the structured path below up to f32 reassociation.
+                mag = self.max_residue_magnitude
+                flow_t = jnp.tile(flow[..., ::-1], (1, 1, 1, g * k2))
+                offc = jnp.clip(
+                    mag * jnp.tanh(raw) + flow_t,
+                    -float(self.window), float(self.window))
+                weight = self.param(
+                    "dcn_weight", _identity_kernel_init, (k, k, m, m))
+                bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
+                from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_fusedprep
+
+                band = 32 if pre_x.dtype == jnp.bfloat16 else 8
+                aligned = deform_conv2d_pallas_fusedprep(
+                    pre_x, offc, mask, weight, bias,
+                    max_displacement=self.window, band=band)
+                return aligned, feat
             # per-component 10*tanh (single consumer per tanh -> it fuses
             # into the kernel prep; see the repeat branch note)
             mag = self.max_residue_magnitude

@@ -1183,3 +1183,388 @@ def deform_conv2d_pallas_vjp(
     op = _vjp_wrapped(
         max_displacement, band, xtile, shared_taps, shared_mask, s2d, interpret)
     return op(x, offset, mask, weight, bias)
+
+
+# ---------------------------------------------------------------------------
+# Fused-prep variant (round 3): consume the offset/mask HEAD OUTPUTS in their
+# dense conv layout and build the per-query data inside the kernel.
+#
+# The standard entry point above needs ~5 XLA-side passes per call to
+# transpose the structured (N,H,W,G,K2,·) offset/mask fields into the
+# (fields, P) query blocks — a round-3 device trace shows ~0.5 ms/frame of
+# standalone copies/reshapes per 1/4-res DCN stage doing exactly that
+# (docs/PERF.md "remaining levers" 2-3). Here the kernel instead reads the
+# head-conv outputs DIRECTLY:
+#
+#   offc (N, H, W, G*K2*2) f32 — clipped displacements, channel order
+#        ((g*K2 + k)*2 + {0:dy, 1:dx}) = the offset head's natural output
+#        (tanh·mag + flow + clip fuse into the conv epilogue in XLA);
+#   mskc (N, H, W, G*K2) f32 — sigmoid modulation, channel (g*K2 + k).
+#
+# and builds the per-tap window coordinates from an in-kernel row/column
+# iota. Layout flips back to queries-on-SUBLANES (the round-2 layout): the
+# blocks that reach HBM are all dense ((band, xtile, 144+) conv outputs and
+# a (P, O) output tile), so the round-2 layout's padding tax never applies,
+# while every (P, ·) intermediate lives only in VMEM.
+#
+# The grid runs one step per CELL with the deformable-group loop unrolled
+# INSIDE the kernel, so the offset/mask blocks are fetched once per cell
+# (not per group), and the expanded weights arrive as ONE constant-index
+# whole block — fetched once per call, where the structured kernel's
+# per-group BlockSpec re-fetches ~0.6 MB every grid step (~170 MB per lv3
+# call). (A factored stage 2 — u @ Ones column sum + a tiny (P, cpg) @
+# (cpg, O) contraction — was tried first to avoid the expansion entirely:
+# 2x SLOWER on chip; 72 extra small matmuls per cell cost more than the
+# expanded contraction saves. Measured, do not retry.)
+#
+# Inference-only (like ``anchor``): no VJP is attached — training uses the
+# structured path above. v1 scope: non-shared taps, per-tap mask, r=1 (the
+# three 1/4-res alignment stages of the runtime model).
+# ---------------------------------------------------------------------------
+
+
+def _dcn_kernel_fusedprep(
+    starts_ref,  # (2, n*cells*g) int32 scalar prefetch: window DMA starts
+                 # ((row, lane) on the LEADING axis: SMEM pads the minor
+                 # dim to 128 lanes, so a (rows, 2) table costs 512 B/row
+                 # and overflows the 1 MB SMEM at small-tile geometries)
+    off_ref,     # (1, band, xtile, G*K2*2) f32 clipped displacements
+    msk_ref,     # (1, band, xtile, G*K2) f32 modulation
+    w_hbm,       # (g, k2, wcwin, o) expanded weights, HBM — DMA'd into the
+                 # single-buffered wexp_s scratch ONCE at grid step 0 (a
+                 # VMEM BlockSpec would double-buffer it onto Mosaic's 16M
+                 # stack: measured +9.4M at the lv3 shapes; the structured
+                 # kernel's per-group block instead re-fetches ~0.6 MB
+                 # every grid step = ~170 MB per lv3 call)
+    xg_hbm,      # (N*G, Hp, Wcp) padded source planes, HBM
+    out_ref,     # (1, 1, P, o) f32 output tile (queries on sublanes)
+    win_s,       # (2, hwin, wcwin) VMEM scratch, double-buffered
+    sems,        # (2,) DMA semaphores
+    wexp_s,      # (g, k2, wcwin, o) VMEM scratch: expanded weights
+    wsem,        # scalar DMA semaphore for the weight copy
+    *,
+    n_groups: int,
+    n_cells: int,
+    band: int,
+    xtile: int,
+    k2: int,
+    cpg: int,
+    o: int,
+    hwin: int,
+    wcwin: int,
+    halo_r: int,
+    halo_c: int,
+    kh: int,
+    kw: int,
+):
+    i = pl.program_id(0)  # flat (n, cell) index
+    total = pl.num_programs(0)
+    p_tile = band * xtile
+    g = n_groups
+    sub_tile = 16 if win_s.dtype == jnp.bfloat16 else 8
+
+    def window_dma(j, slot):  # j = flat (n, cell, group) index
+        gi = j % g
+        ni = j // (g * n_cells)
+        return pltpu.make_async_copy(
+            xg_hbm.at[
+                ni * g + gi,
+                pl.ds(pl.multiple_of(starts_ref[0, j], sub_tile), hwin),
+                pl.ds(pl.multiple_of(starts_ref[1, j], 128), wcwin),
+            ],
+            win_s.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        window_dma(0, 0).start()
+        # one-time blocking weight fetch; the scratch persists across the
+        # whole grid
+        wcopy = pltpu.make_async_copy(w_hbm, wexp_s, wsem)
+        wcopy.start()
+        wcopy.wait()
+
+    # (P, fields): collapse the dense (band, xtile, F) blocks onto query
+    # sublanes — band and xtile are sublane-tile multiples, so this is a
+    # pure leading-dim merge (no data movement)
+    qoff = off_ref[0].reshape(p_tile, 2 * k2 * g)
+    qmsk = msk_ref[0].reshape(p_tile, k2 * g)
+
+    # per-query local row/col within the cell + the window origin shift
+    qiota = jax.lax.broadcasted_iota(jnp.int32, (p_tile, 1), 0)
+    qy = (qiota // xtile).astype(jnp.float32) + float(halo_r)
+    qx = (qiota % xtile).astype(jnp.float32) + float(halo_c)
+    # (1, ·) row vectors: the compares broadcast them against the (P, 1)
+    # coordinates — materializing (P, ·) iotas here doubled the measured
+    # Mosaic stack peak
+    riota = jax.lax.broadcasted_iota(jnp.int32, (1, hwin), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wcwin), 1) // cpg
+
+    cdtype = win_s.dtype
+    prec = None if cdtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+    acc = jnp.zeros((p_tile, o), jnp.float32)
+    for gi in range(g):
+        j = i * g + gi
+        # prefetch the next window (next group, or the next cell's first)
+        if gi + 1 < g:
+            window_dma(j + 1, (j + 1) % 2).start()
+        else:
+
+            @pl.when(i + 1 < total)
+            def _():
+                window_dma(j + 1, (j + 1) % 2).start()
+
+        window_dma(j, j % 2).wait()
+        win = win_s[j % 2]  # (hwin, wcwin)
+
+        for k in range(k2):
+            ty = float(k // kw - (kh - 1) // 2)
+            tx = float(k % kw - (kw - 1) // 2)
+            base = gi * k2 + k
+            ly = qy + ty + qoff[:, 2 * base : 2 * base + 1]
+            lx = qx + tx + qoff[:, 2 * base + 1 : 2 * base + 2]
+            mk = qmsk[:, base : base + 1]
+
+            # stage 1 — row interpolation on the MXU: Rt (P, hwin) @ win
+            y0 = jnp.floor(ly)
+            fy = ly - y0
+            y0i = y0.astype(jnp.int32)
+            r_t = jnp.where(riota == y0i, 1.0 - fy, 0.0) + jnp.where(
+                riota == y0i + 1, fy, 0.0
+            )
+            v = jax.lax.dot_general(
+                r_t.astype(cdtype),
+                win,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (P, wcwin) f32
+
+            # stage 2 — column weights + modulation, then the fused
+            # column-reduce + conv-weight contraction on the MXU
+            x0 = jnp.floor(lx)
+            fx = lx - x0
+            x0i = x0.astype(jnp.int32)
+            cw = jnp.where(col == x0i, 1.0 - fx, 0.0) + jnp.where(
+                col == x0i + 1, fx, 0.0
+            )
+            u = (v * cw * mk).astype(cdtype)
+            acc = acc + jax.lax.dot_general(
+                u,
+                wexp_s[gi, k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+
+    out_ref[0, 0] = acc
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_call(geom):
+    """Build the fused-prep forward pallas_call for one static geometry."""
+    (n, g, n_cells, n_tiles, band, xtile, k2, cpg, o, hwin, wcwin,
+     halo_r, halo_c, kh, kw, dtype_str, interpret) = geom
+    cdtype = jnp.dtype(dtype_str)
+    p_tile = band * xtile
+    kernel = functools.partial(
+        _dcn_kernel_fusedprep,
+        n_groups=g, n_cells=n_cells, band=band, xtile=xtile, k2=k2, cpg=cpg,
+        o=o, hwin=hwin, wcwin=wcwin, halo_r=halo_r, halo_c=halo_c,
+        kh=kh, kw=kw,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n * n_cells,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, band, xtile, 2 * k2 * g),
+                lambda i, s: (
+                    i // n_cells,
+                    (i % n_cells) // n_tiles,
+                    (i % n_cells) % n_tiles,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, band, xtile, k2 * g),
+                lambda i, s: (
+                    i // n_cells,
+                    (i % n_cells) // n_tiles,
+                    (i % n_cells) % n_tiles,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, p_tile, o),
+            lambda i, s: (i // n_cells, i % n_cells, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, hwin, wcwin), cdtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((g, k2, wcwin, o), cdtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, n_cells, p_tile, o), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def deform_conv2d_pallas_fusedprep(
+    x: jax.Array,
+    offc: jax.Array,
+    mskc: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    max_displacement: int = 8,
+    band: int = 32,
+    xtile: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Windowed modulated deformable conv, fused-prep form (see the section
+    comment above). Inference-only — no VJP is attached.
+
+    Args:
+      x: (N, H, W, C) source feature.
+      offc: (N, H, W, G*K2*2) CLIPPED displacements, channel order
+        ((g*K2 + k)*2 + {0:dy, 1:dx}); values must already satisfy
+        ``|offc| <= max_displacement`` (clip in XLA — it fuses into the
+        offset head's conv epilogue).
+      mskc: (N, H, W, G*K2) modulation, channel (g*K2 + k).
+      weight: (kh, kw, C, O); bias: (O,) | None.
+
+    Semantics match :func:`deform_conv2d_pallas` (same geometry rules,
+    same ±D clamp) up to float reassociation of the per-column sums
+    (both paths accumulate in f32).
+    """
+    import math
+
+    kh, kw, wc, o = weight.shape
+    k2 = kh * kw
+    n, h, w, c = x.shape
+    assert wc == c, (weight.shape, x.shape)
+    assert offc.shape[-1] % (2 * k2) == 0, (offc.shape, k2)
+    g = offc.shape[-1] // (2 * k2)
+    assert offc.shape == (n, h, w, g * k2 * 2), offc.shape
+    assert mskc.shape == (n, h, w, g * k2), mskc.shape
+    assert c % g == 0, (c, g)
+    cpg = c // g
+    pad_y, pad_x = (kh - 1) // 2, (kw - 1) // 2
+    d = max_displacement
+
+    def round_up(v, m):
+        return -(-v // m) * m
+
+    sub_tile = 16 if x.dtype == jnp.bfloat16 else 8
+    lane_q = 128 // math.gcd(cpg, 128)
+    band = round_up(band, sub_tile)
+    xtile = round_up(xtile, lane_q)
+    halo_r = round_up(d + pad_y + 2, sub_tile // 2)
+    halo_c = round_up(d + pad_x + 2, max(1, lane_q // 2))
+
+    # scoped-VMEM guard (same discipline as deform_conv2d_pallas). Only the
+    # BODY's live tensors count against Mosaic's 16M stack — the
+    # offset/mask/weight BlockSpec buffers are pipeline allocations outside
+    # it. Big live values: the (P, wcwin) v/cw/u triple, the (P, hwin) Rt,
+    # the (P, o) accumulator, and the double-buffered window scratch.
+    item = 2 if x.dtype == jnp.bfloat16 else 4
+
+    def vmem_est(band_e, xtile_e):
+        p_est = band_e * xtile_e
+        wcwin_est = (xtile_e + 2 * halo_c) * cpg
+        hwin_est = band_e + 2 * halo_r
+        body = (
+            p_est * wcwin_est * (4 + 4 + item)       # v f32, cw f32, u
+            + p_est * round_up(hwin_est, 128) * 4    # Rt
+            + p_est * round_up(o, 128) * 4           # acc
+        )
+        # pipeline/scratch buffers land on the same scoped stack (measured:
+        # a VMEM-BlockSpec'd wexp added its full double-buffered size)
+        bufs = (
+            2 * p_est * round_up(2 * k2 * g, 128) * 4   # offc blocks
+            + 2 * p_est * round_up(k2 * g, 128) * 4     # mskc blocks
+            + 2 * p_est * round_up(o, 128) * 4          # out blocks
+            + 2 * hwin_est * wcwin_est * item           # window scratch
+            + g * k2 * wcwin_est * round_up(o, 128) * item  # wexp scratch
+        )
+        # measured Mosaic stack peaks run ~2x over the body sum (the
+        # per-tap compare/multiply temporaries are all counted live)
+        return body * 2.0 + bufs
+
+    while band > sub_tile and vmem_est(band, xtile) > 15_500_000:
+        band -= sub_tile
+    xstep = math.lcm(lane_q, 128 // math.gcd(band, 128))
+    xtile = round_up(xtile, xstep)
+    while xtile > xstep and vmem_est(band, xtile) > 15_500_000:
+        xtile -= xstep
+    if vmem_est(band, xtile) > 15_500_000:
+        raise ValueError(
+            "deform_conv2d_pallas_fusedprep: even the floor tile geometry "
+            f"(band {band}, xtile {xtile}) exceeds the Mosaic VMEM stack at "
+            f"this shape (g={g}, cpg={cpg}, o={o}, dtype={x.dtype}); use "
+            "deform_conv2d_pallas (the structured path) instead")
+
+    n_bands = -(-h // band)
+    n_tiles = -(-w // xtile)
+    h_pad = n_bands * band - h
+    w_pad = n_tiles * xtile - w
+    hwin = band + 2 * halo_r
+    wwin = xtile + 2 * halo_c
+    wcwin = wwin * cpg
+    n_cells = n_bands * n_tiles
+    p_tile = band * xtile
+
+    # padded group planes (identical to the structured path)
+    xg = x.reshape(n, h, w, g, cpg).transpose(0, 3, 1, 2, 4)
+    xg = jnp.pad(
+        xg,
+        ((0, 0), (0, 0), (halo_r, halo_r + h_pad), (halo_c, halo_c + w_pad), (0, 0)),
+    ).reshape(n * g, h + h_pad + 2 * halo_r, (w + w_pad + 2 * halo_c) * cpg)
+
+    # dense spatial pad of the head outputs (zero displacements/modulation
+    # in the pad region; those queries are cropped in the post)
+    offp = jnp.pad(
+        offc.astype(jnp.float32), ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+    mskp = jnp.pad(
+        mskc.astype(jnp.float32), ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+
+    # static window-start table, (2, n*cells*g): cell-major, group-minor
+    # (leading (row, lane) axis — see the kernel's starts_ref note)
+    bi_v = (jnp.arange(n_cells, dtype=jnp.int32) // n_tiles) * band
+    tj_v = (jnp.arange(n_cells, dtype=jnp.int32) % n_tiles) * xtile * cpg
+    starts = jnp.stack(
+        [jnp.broadcast_to(bi_v[None, :, None], (n, n_cells, g)).reshape(-1),
+         jnp.broadcast_to(tj_v[None, :, None], (n, n_cells, g)).reshape(-1)],
+        axis=0)
+
+    # expanded group-major weights on the window-column axis:
+    # W[g, k, x*cpg + c, o] = weight[k, c, o] for every window column x
+    w2 = weight.reshape(k2, g, cpg, o).transpose(1, 0, 2, 3)
+    wexp = jnp.tile(w2, (1, 1, wwin, 1)).astype(x.dtype)  # (g, k2, wcwin, o)
+
+    geom = (
+        n, g, n_cells, n_tiles, band, xtile, k2, cpg, o, hwin, wcwin,
+        halo_r, halo_c, kh, kw, str(jnp.dtype(x.dtype)), interpret,
+    )
+    out = _fused_call(geom)(starts, offp, mskp, wexp, xg)
+
+    out = out.reshape(n, n_bands, n_tiles, band, xtile, o)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, n_bands * band, n_tiles * xtile, o
+    )[:, :h, :w]
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)

@@ -344,3 +344,57 @@ def test_pallas_anchored_refuses_grad():
 
     with pytest.raises(Exception):
         jax.grad(loss)(x)
+
+
+def test_fusedprep_matches_structured_and_oracle():
+    """The fused-prep variant (dense head-output operands, in-kernel query
+    build — ops/pallas/dcn.py round-3 experiment) is the same math as the
+    structured kernel up to f32 reassociation."""
+    from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_fusedprep
+
+    rng = np.random.default_rng(7)
+    n, h, w, c, g, o = 1, 19, 27, 16, 4, 24
+    k2 = 9
+    d = 6
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    offc = jnp.clip(
+        jnp.asarray(rng.uniform(-9, 9, (n, h, w, g * k2 * 2)), jnp.float32),
+        -d, d)
+    mskc = jnp.asarray(rng.uniform(0, 1, (n, h, w, g * k2)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, o)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((o,)), jnp.float32)
+
+    got = np.asarray(deform_conv2d_pallas_fusedprep(
+        x, offc, mskc, wt, b, max_displacement=d, band=8, xtile=32,
+        interpret=True))
+    structured = np.asarray(deform_conv2d_pallas(
+        x, offc.reshape(n, h, w, g, k2, 2), mskc.reshape(n, h, w, g, k2),
+        wt, b, max_displacement=d, band=8, xtile=32, interpret=True))
+    oracle = np.asarray(deform_conv2d(
+        x, offc.reshape(n, h, w, g, k2, 2), mskc.reshape(n, h, w, g, k2),
+        wt, b))
+    np.testing.assert_allclose(got, structured, atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(got, oracle, atol=5e-5, rtol=1e-4)
+
+
+def test_fusedprep_model_dispatch_parity():
+    """dcn_fused is a pure dispatch knob: off-TPU the model must produce
+    exactly the structured path's output (the flag is ignored), and the
+    param tree must be identical so checkpoints stay interchangeable."""
+    from crfp_tpu.models import CRFP, ModelConfig
+
+    rng = np.random.default_rng(3)
+    kw = dict(variant="v18", mid_channels=16, dcn_window=4)
+    m0 = CRFP(ModelConfig(**kw))
+    m1 = CRFP(ModelConfig(**kw, dcn_fused=True))
+    b, t, h, w, s = 1, 2, 8, 8, 8
+    lrs = jnp.asarray(rng.uniform(0, 1, (b, t, h, w, 3)), jnp.float32)
+    fvs = jnp.asarray(rng.uniform(0, 1, (b, t, h * s, w * s, 3)), jnp.float32)
+    mks = jnp.asarray(rng.uniform(0, 1, (b, t, h * s, w * s, 1)) > 0.5,
+                      jnp.float32)
+    p0 = m0.init(jax.random.PRNGKey(0), lrs, fvs, mks)
+    p1 = m1.init(jax.random.PRNGKey(0), lrs, fvs, mks)
+    assert jax.tree.structure(p0) == jax.tree.structure(p1)
+    out0 = m0.apply(p0, lrs, fvs, mks)
+    out1 = m1.apply(p0, lrs, fvs, mks)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))

@@ -282,3 +282,47 @@ def test_compiled_emit_frame_matches_pixel_shuffle(dtype, hs):
         jax.jit(lambda a: depth_to_space_add_chw(a, None))(y), np.float32)
     want = np.asarray(pixel_shuffle(y, r), np.float32).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, atol=2e-6, rtol=2e-6)
+
+
+@pytest.mark.parametrize(
+    "dtype,tol,c,band,xtile",
+    [
+        (jnp.float32, 5e-5, 32, 16, 32),
+        # bf16 runs the empirically-validated lv3 geometry (c=64 -> cpg=8,
+        # band/xtile 16): Mosaic's stack accounting rejects the cpg=4
+        # small-shape variant the f32 case uses
+        (jnp.bfloat16, 5e-2, 64, 16, 16),
+    ],
+)
+def test_compiled_fusedprep_matches_structured(dtype, tol, c, band, xtile):
+    """The fused-prep experiment (dense head-output operands, in-kernel
+    query build) compiled on chip vs the structured kernel — same math up
+    to f32 reassociation (and bf16 rounding of the offsets' consumers).
+    Measured SLOWER than the structured path at the lv3 deployment shapes
+    (docs/PERF.md round-3 negative results) — kept opt-in; this test keeps
+    the compiled path honest."""
+    from crfp_tpu.ops.pallas.dcn import (
+        deform_conv2d_pallas,
+        deform_conv2d_pallas_fusedprep,
+    )
+
+    rng = np.random.default_rng(11)
+    n, h, w, g, o = 1, 64, 96, 8, c
+    k2, d = 9, 8
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), dtype)
+    offc = jnp.clip(
+        jnp.asarray(rng.uniform(-12, 12, (n, h, w, g * k2 * 2)), jnp.float32),
+        -d, d)
+    mskc = jnp.asarray(rng.uniform(0, 1, (n, h, w, g * k2)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, o)) * 0.2, dtype)
+
+    got = np.asarray(jax.jit(
+        lambda x, oc, mc: deform_conv2d_pallas_fusedprep(
+            x, oc, mc, wt, None, max_displacement=d, band=band, xtile=xtile)
+    )(x, offc, mskc), np.float32)
+    want = np.asarray(jax.jit(
+        lambda x, os_, ms: deform_conv2d_pallas(
+            x, os_, ms, wt, None, max_displacement=d, band=band, xtile=xtile)
+    )(x, offc.reshape(n, h, w, g, k2, 2), mskc.reshape(n, h, w, g, k2)),
+        np.float32)
+    np.testing.assert_allclose(got, want, atol=tol, rtol=tol)
