@@ -104,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr_periods", type=str, default="600000")
     p.add_argument("--min_lr", type=float, default=1e-7)
     p.add_argument("--flow_freeze_iters", type=int, default=5000)
+    p.add_argument("--amp", type=str2bool, default=False,
+                   help="mixed-precision training: bf16 forward/backward "
+                        "compute with f32 master params/moments/loss "
+                        "(TrainConfig.amp; parity runs keep f32)")
 
     ### training settings
     p.add_argument("--batch_size", type=int, default=8)
@@ -170,4 +174,5 @@ def train_config(args) -> TrainConfig:
         min_lr=args.min_lr,
         flow_freeze_iters=args.flow_freeze_iters,
         rec_w=args.rec_w,
+        amp=getattr(args, "amp", False),
     )

@@ -775,10 +775,12 @@ def deform_conv2d_pallas(
         # the kw cached column factors live across the tap loop (measured
         # 17.04M where est*1.75*1.6 predicted 12.3M at the tiny-shape
         # dcn_3 train geometry: actual/est ~3.9x).
-        # Gated on f32: training runs f32 (parity-pinned); the bf16
-        # deployment path never differentiates, and the factor would
-        # needlessly shrink its proven warp geometry.
-        grad_f = (2.4 if shared_taps else 1.6) if (fullgrad and item == 4) else 1.0
+        # Applied whenever fullgrad (any dtype): f32 is the parity training
+        # path, and bf16 differentiates under AMP training (TrainConfig.amp)
+        # — the backward's live temporaries (v/s/e/dldr, the dwin
+        # accumulator) are f32 either way, so the factor must not be gated
+        # on the operand dtype. Inference (fullgrad=False) is unaffected.
+        grad_f = (2.4 if shared_taps else 1.6) if fullgrad else 1.0
         return est * (1.75 if shared_taps else 1.33) * grad_f
 
     while band > band_q and vmem_est(band, xtile) > 15_500_000:

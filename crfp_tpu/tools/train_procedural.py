@@ -109,6 +109,8 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save", default="checkpoints/v18_mid16_procedural.npz")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 compute with f32 masters (TrainConfig.amp)")
     p.add_argument("--no_cache", action="store_true")
     args = p.parse_args()
 
@@ -133,7 +135,7 @@ def main() -> None:
                       remat=True)
     model = CRFP(cfg)
     tcfg = TrainConfig(lr_rate=args.lr, flow_freeze_iters=args.flow_freeze,
-                       periods=(max(args.iters, 1),))
+                       periods=(max(args.iters, 1),), amp=args.amp)
 
     rng = np.random.default_rng(args.seed)
     print(f"generating {args.pool} procedural clips (t={args.t}, GT={args.gt})...",

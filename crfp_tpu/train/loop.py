@@ -52,6 +52,12 @@ class TrainConfig:
     min_lr: float = 1e-7
     flow_freeze_iters: int = 5000
     rec_w: float = 1.0
+    # mixed-precision training: forward/backward compute in bfloat16 on the
+    # systolic array while master params, gradients, Adam moments and the
+    # loss stay f32 (bf16's f32-sized exponent needs no loss scaling). The
+    # reference trains pure f32 (torch default) — this is the TPU-native
+    # throughput mode; parity runs keep amp=False.
+    amp: bool = False
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -136,7 +142,19 @@ def make_train_step(model: CRFP, cfg: TrainConfig, mesh: jax.sharding.Mesh | Non
         "train with dcn_anchor=False and enable it for deployment")
 
     def loss_fn(params, batch):
-        sr = model.apply(params, batch["lr"], batch["fv"], batch["mk"])
+        if cfg.amp:
+            from crfp_tpu.utils.precision import cast_pytree
+
+            # differentiable casts: grads come back f32 for the f32 masters
+            p = cast_pytree(params, jnp.bfloat16)
+            sr = model.apply(
+                p,
+                batch["lr"].astype(jnp.bfloat16),
+                batch["fv"].astype(jnp.bfloat16),
+                batch["mk"].astype(jnp.bfloat16),
+            ).astype(jnp.float32)
+        else:
+            sr = model.apply(params, batch["lr"], batch["fv"], batch["mk"])
         return cfg.rec_w * charbonnier_loss(sr, batch["hr"]), sr
 
     def train_step(state: TrainState, batch):

@@ -36,6 +36,7 @@ if not _TPU_TIER:
 _SLOW_PREFIXES = (
     "tests/test_cli.py",
     "tests/test_train.py",
+    "tests/test_amp.py",
     "tests/test_bf16.py",
     "tests/test_learning.py",
     "tests/test_models.py",
