@@ -5,7 +5,12 @@ from crfp_tpu.parallel.sharding import (
     replicate,
     shard_batch,
 )
-from crfp_tpu.parallel.spatial import halo_exchange, sharded_conv3x3, shard_frame_height
+from crfp_tpu.parallel.spatial import (
+    SpatialStreamingRunner,
+    halo_exchange,
+    shard_frame_height,
+    sharded_conv3x3,
+)
 
 __all__ = [
     "data_parallel_mesh",
@@ -13,6 +18,7 @@ __all__ = [
     "initialize_distributed",
     "shard_batch",
     "replicate",
+    "SpatialStreamingRunner",
     "halo_exchange",
     "sharded_conv3x3",
     "shard_frame_height",

@@ -82,3 +82,83 @@ def sharded_conv3x3(
 def shard_frame_height(x: jax.Array, mesh: Mesh, axis: str = "data") -> jax.Array:
     """Place (N, H, W, C) with H sharded over the mesh axis."""
     return jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
+
+
+class SpatialStreamingRunner:
+    """Frame-by-frame inference with ONE frame sharded by height across
+    the mesh — the full-model extension of the halo-conv primitive above.
+
+    Every frame-shaped tensor (inputs, the recurrent state's feature
+    planes, the output) carries a ``P(None, axis)`` height sharding and
+    the whole step is compiled under GSPMD, which partitions the convs
+    with halo exchanges and the up/down-samples with the matching
+    collectives over ICI. The math is the unsharded step's — exactness is
+    pinned by tests/test_spatial.py::test_spatial_streaming_matches_single
+    on the 8-device virtual mesh.
+
+    The reference has no spatial distribution at all; its answer to
+    frames too large for one device is the lossy warp_size ROI crop
+    (/root/reference/model/CRFP_runtime.py:8492). This runner keeps the
+    full frame and scales it across the slice instead (SURVEY.md §5.7).
+
+    Same call surface as :class:`crfp_tpu.models.streaming.StreamingRunner`
+    (no ``fg`` gating — regional gating and spatial sharding compose
+    poorly, and the point of sharding is NOT cropping).
+    """
+
+    def __init__(self, model, params, mesh: Mesh, axis: str = "data"):
+        self.model = model
+        self.mesh = mesh
+        self.axis = axis
+        repl = NamedSharding(mesh, P())
+        self.params = jax.device_put(params, repl)
+        self._state = None
+        self._pre_lr = None
+
+        def frame_sharding(x):
+            # frame-shaped leaves (N, H, ..., C): shard the height axis;
+            # anything smaller is replicated
+            if hasattr(x, "ndim") and x.ndim >= 3:
+                return NamedSharding(mesh, P(None, axis))
+            return repl
+
+        self._frame_sharding = frame_sharding
+
+        def first(params, lr, fv, mk):
+            def fwd(mdl):
+                x_lr, x_hr = mdl.encode_frame(lr, fv, mk)
+                return mdl.step0(lr, x_lr, x_hr, mk)
+
+            return model.apply(params, method=fwd)
+
+        def nxt(params, state, pre_lr, lr, fv, mk):
+            def fwd(mdl):
+                flow = mdl.compute_flow(lr, pre_lr)
+                x_lr, x_hr = mdl.encode_frame(lr, fv, mk)
+                return mdl.step(state, lr, x_lr, x_hr, mk, flow, None)
+
+            return model.apply(params, method=fwd)
+
+        fs = NamedSharding(mesh, P(None, axis))
+        self._first = jax.jit(first, in_shardings=(repl, fs, fs, fs))
+        # state shardings resolve per-leaf at the first next() call
+        self._nxt_fn = nxt
+
+    def clear_states(self) -> None:
+        self._state = None
+        self._pre_lr = None
+
+    def __call__(self, lr: jax.Array, fv: jax.Array, mk: jax.Array) -> jax.Array:
+        shard = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jax.device_put(x, self._frame_sharding(x)), t)
+        lr, fv, mk = shard(lr), shard(fv), shard(mk)
+        if self._state is None:
+            self._state, out = self._first(self.params, lr, fv, mk)
+            self._state = shard(self._state)
+            self._next = jax.jit(self._nxt_fn)
+        else:
+            self._state, out = self._next(
+                self.params, self._state, self._pre_lr, lr, fv, mk)
+            self._state = shard(self._state)
+        self._pre_lr = lr
+        return out

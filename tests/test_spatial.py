@@ -51,6 +51,34 @@ def test_halo_exchange_boundaries():
         assert out[i, 3] == x[0, (i + 1) * 2, 0, 0]
 
 
+def test_spatial_streaming_matches_single():
+    """Full-model height-sharded streaming (GSPMD) equals the unsharded
+    runner frame-for-frame on the 8-device mesh."""
+    from crfp_tpu.models import CRFP, ModelConfig
+    from crfp_tpu.models.streaming import StreamingRunner
+    from crfp_tpu.parallel.spatial import SpatialStreamingRunner
+
+    mesh = data_parallel_mesh(8)
+    cfg = ModelConfig(variant="v18", mid_channels=16)
+    model = CRFP(cfg)
+    rng = np.random.default_rng(0)
+    h, w, s, t = 32, 16, 8, 3
+    lrs = jnp.asarray(rng.uniform(0, 1, (t, 1, h, w, 3)), jnp.float32)
+    fvs = jnp.asarray(rng.uniform(0, 1, (t, 1, h * s, w * s, 3)), jnp.float32)
+    mks = jnp.asarray(
+        rng.uniform(0, 1, (t, 1, h * s, w * s, 1)) > 0.5, jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), lrs.transpose(1, 0, 2, 3, 4),
+        fvs.transpose(1, 0, 2, 3, 4), mks.transpose(1, 0, 2, 3, 4))
+
+    single = StreamingRunner(model, params, donate=False)
+    sharded = SpatialStreamingRunner(model, params, mesh)
+    for i in range(t):
+        want = np.asarray(single(lrs[i], fvs[i], mks[i]))
+        got = np.asarray(sharded(lrs[i], fvs[i], mks[i]))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
 def test_initialize_distributed_single_process_noop():
     # without coordinator env the bring-up must be a no-op returning False
     import os
