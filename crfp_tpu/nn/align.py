@@ -29,7 +29,7 @@ from crfp_tpu.ops.resize import upsample as bilinear_upsample
 
 def _windowed_dcn(x, off, mask, weight, bias, window: int, shared: bool = False,
                   shared_mask: bool = False, s2d: int = 1,
-                  anchor: bool = False):
+                  anchor: bool = False, anchor_vjp: bool = False):
     """Windowed-DCN dispatch: the Mosaic kernel on TPU (differentiable via
     its custom VJP), the XLA lax.map interpolation-matrix form elsewhere
     (same math, same clamping — tests compare the two).
@@ -39,9 +39,11 @@ def _windowed_dcn(x, off, mask, weight, bias, window: int, shared: bool = False,
     ``shared_mask``: one mask per (pixel, group) broadcast to every tap.
     ``s2d``: every per-pixel operand and the output in space-to-depth(r)
     layout (see crfp_tpu/ops/pallas/dcn.py). ``anchor``: per-cell anchored
-    windows (inference-only, TPU kernel only — the CPU/XLA fallback keeps
-    the plain ±window clamp, which the anchored kernel is exact-or-better
-    than for cell-coherent motion)."""
+    windows — TPU kernel only; the CPU/XLA fallback keeps the plain
+    ±window clamp, which the anchored kernel is exact-or-better than for
+    cell-coherent motion. ``anchor_vjp``: make the anchored op trainable
+    (the anchored Mosaic backward; see deform_conv2d_pallas_vjp) — costs
+    backward-sized tile geometry, so leave False for pure inference."""
     if jax.default_backend() == "tpu":
         from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_vjp
 
@@ -58,7 +60,7 @@ def _windowed_dcn(x, off, mask, weight, bias, window: int, shared: bool = False,
         return deform_conv2d_pallas_vjp(
             x, off, mask, weight, bias, max_displacement=window,
             shared_taps=shared, shared_mask=shared_mask, s2d=s2d,
-            band=band, anchor=anchor,
+            band=band, anchor=anchor, anchor_vjp=anchor_vjp,
         )
     from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
 
@@ -129,9 +131,13 @@ class DCNAlign(nn.Module):
     # stage's own (dcn_3 consumes the s2d(2) lv3 trunk's offset feature
     # through its PixelShufflePack: 1 = native grid, 2 = s2d(2))
     pre_offset_s2d: int = 1
-    # per-cell anchored windows for the windowed kernel (inference-only;
-    # see ModelConfig.dcn_anchor)
+    # per-cell anchored windows for the windowed kernel (see
+    # ModelConfig.dcn_anchor)
     anchor: bool = False
+    # attach the anchored custom VJP (trainable anchored windows; costs
+    # backward-sized tile geometry — the batch/training trunk sets this,
+    # the runtime models keep the fast inference path)
+    anchor_vjp: bool = False
     # fused-prep windowed kernel (inference-only, TPU backend only): the
     # offset/mask head outputs feed the Mosaic kernel in their dense conv
     # layout and the per-query data is built in VMEM, removing the ~5
@@ -214,7 +220,7 @@ class DCNAlign(nn.Module):
                 bias = self.param("dcn_bias", nn.initializers.zeros, (m,))
                 aligned = _windowed_dcn(
                     pre_x, off, mask, weight, bias, self.window,
-                    shared=True, shared_mask=True, s2d=r, anchor=self.anchor,
+                    shared=True, shared_mask=True, s2d=r, anchor=self.anchor, anchor_vjp=self.anchor_vjp,
                 )
                 return aligned, feat
             if self.s2d:
@@ -250,7 +256,7 @@ class DCNAlign(nn.Module):
                 aligned = _windowed_dcn(
                     pre_x, off[:, :, :, :, None, :], mask, weight, bias,
                     self.window, shared=True, shared_mask=True,
-                    anchor=self.anchor,
+                    anchor=self.anchor, anchor_vjp=self.anchor_vjp,
                 )
             else:
                 # all taps share one offset -> 4x4-patch gather fast path
@@ -324,7 +330,8 @@ class DCNAlign(nn.Module):
         if self.window is not None:
             aligned = _windowed_dcn(pre_x, off, mask, weight, bias, self.window,
                                     s2d=r if self.s2d else 1,
-                                    anchor=self.anchor)
+                                    anchor=self.anchor,
+                                    anchor_vjp=self.anchor_vjp)
         else:
             aligned = deform_conv2d(pre_x, off, mask, weight, bias)
         return aligned, feat

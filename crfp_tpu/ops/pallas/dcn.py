@@ -217,16 +217,8 @@ def _dcn_kernel(
 
 
 def _dcn_bwd_kernel(
-    qd_ref,      # (1, 1, L, P) f32
-    w_ref,       # (1, k2, o, wcwin) expanded transposed weights
-    gout_ref,    # (1, 1, o, P) f32 output cotangent
-    xg_hbm,      # (NG, Hp, Wcp) padded source planes, HBM
-    dqd_ref,     # (1, 1, L, P) f32
-    dwin_ref,    # (1, 1, hwin, wcwin) f32: this cell's window cotangent
-    dwexp_ref,   # (1, k2, o, wcwin) f32, accumulated over (n, cells)
-    win_s,       # (2, hwin, wcwin) VMEM scratch, double-buffered
-    sems,        # (2,) DMA semaphores
-    *,
+    *refs,       # [starts_ref when anchored,] qd_ref, w_ref, gout_ref,
+                 # xg_hbm, dqd_ref, dwin_ref, dwexp_ref, win_s, sems
     n_batch: int,
     n_groups: int,
     n_cells: int,
@@ -242,6 +234,10 @@ def _dcn_bwd_kernel(
     kw: int = 3,
     shared: bool = False,
     mask_mode: str = "per_tap",
+    a_y: int = 0,   # anchored: row anchor range (dwin block is hwin+2*a_y
+    a_xc: int = 0,  # rows by wcwin+2*a_xc lanes; the cell's cotangent is
+                    # stored at its dynamic anchored offset so the host
+                    # overlap-add keeps static cell-corner starts)
 ):
     """Fully-Pallas backward of the windowed DCN (VERDICT round-2 task 9).
 
@@ -262,12 +258,27 @@ def _dcn_bwd_kernel(
 
     Grid is G-MAJOR here (i = g*(n*cells) + n_i*cells + cell) so the
     dwexp accumulator block stays resident across its visits.
+
+    Anchored mode (a_y/a_xc > 0): the window DMA start comes from the
+    scalar-prefetched per-cell starts table (g-major order) instead of
+    the static cell corner, and dwin_ref is EXTENDED by the anchor range
+    — the cell's (hwin, wcwin) cotangent is stored at its anchored
+    offset inside the (hwin+2*a_y, wcwin+2*a_xc) block, so the host-side
+    overlap-add keeps its static cell-corner diagonal structure.
     """
+    anchored = a_y > 0 or a_xc > 0
+    if anchored:
+        (starts_ref, qd_ref, w_ref, gout_ref, xg_hbm,
+         dqd_ref, dwin_ref, dwexp_ref, win_s, sems) = refs
+    else:
+        (qd_ref, w_ref, gout_ref, xg_hbm,
+         dqd_ref, dwin_ref, dwexp_ref, win_s, sems) = refs
     i = pl.program_id(0)
     total = pl.num_programs(0)
     p_tile = band * xtile
     nc = n_batch * n_cells
     rem = i % nc
+    sub_tile = 16 if win_s.dtype == jnp.bfloat16 else 8
 
     def window_dma(idx, slot):
         g = idx // nc
@@ -276,11 +287,16 @@ def _dcn_bwd_kernel(
         cell = r % n_cells
         bi = cell // n_tiles
         tj = cell % n_tiles
+        if anchored:
+            row0 = pl.multiple_of(starts_ref[idx, 0], sub_tile)
+            col0 = pl.multiple_of(starts_ref[idx, 1], 128)
+        else:
+            row0, col0 = bi * band, tj * xtile * cpg
         return pltpu.make_async_copy(
             xg_hbm.at[
                 ni * n_groups + g,
-                pl.ds(bi * band, hwin),
-                pl.ds(tj * xtile * cpg, wcwin),
+                pl.ds(row0, hwin),
+                pl.ds(col0, wcwin),
             ],
             win_s.at[slot],
             sems.at[slot],
@@ -403,7 +419,21 @@ def _dcn_bwd_kernel(
             dwexp_taps.append(dot(g_cd, u, ((1,), (1,))))
         dqd_ref[0, 0] = jnp.concatenate(dly_rows + dlx_rows + dm_rows, axis=0)
 
-    dwin_ref[0, 0] = dwin_acc
+    if anchored:
+        # place this cell's cotangent at its anchored offset inside the
+        # extended block: buffer row 0 <-> plane row bi*band, so
+        # roff = start_row - bi*band = ayq + a_y (a multiple of the
+        # sublane tile), coff likewise a multiple of 128 lanes
+        cell = rem % n_cells
+        bi = cell // n_tiles
+        tj = cell % n_tiles
+        roff = pl.multiple_of(starts_ref[i, 0] - bi * band, sub_tile)
+        coff = pl.multiple_of(starts_ref[i, 1] - tj * xtile * cpg, 128)
+        dwin_ref[0, 0] = jnp.zeros((hwin + 2 * a_y, wcwin + 2 * a_xc),
+                                   jnp.float32)
+        dwin_ref[0, 0, pl.ds(roff, hwin), pl.ds(coff, wcwin)] = dwin_acc
+    else:
+        dwin_ref[0, 0] = dwin_acc
     dwexp = jnp.stack(dwexp_taps, axis=0)  # (k2, o, wcwin)
 
     @pl.when(rem == 0)
@@ -469,11 +499,18 @@ def _fwd_call(geom):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_call(geom):
+def _bwd_call(geom, ext=(0, 0)):
     """Build the backward pallas_call closure (g-major grid) for one
-    static geometry. Returns (dqd, dwin_cells, dwexp)."""
+    static geometry. Returns (dqd, dwin_cells, dwexp).
+
+    ``ext`` = (a_y, a_xc): anchored mode — the call takes a g-major
+    (total, 2) starts table as scalar prefetch and dwin blocks are
+    extended by the anchor range (see ``_dcn_bwd_kernel``)."""
     (n, g, n_cells, n_tiles, band, xtile, k2, cpg, o, hwin, wcwin,
      kh, kw, shared, mask_mode, qd_lanes, dtype_str, interpret) = geom
+    a_y, a_xc = ext
+    anchored = a_y > 0 or a_xc > 0
+    h_e, wc_e = hwin + 2 * a_y, wcwin + 2 * a_xc
     cdtype = jnp.dtype(dtype_str)
     p_tile = band * xtile
     total = n * n_cells * g
@@ -482,62 +519,114 @@ def _bwd_call(geom):
         _dcn_bwd_kernel,
         n_batch=n, n_groups=g, n_cells=n_cells, n_tiles=n_tiles, band=band,
         xtile=xtile, k2=k2, cpg=cpg, o=o, hwin=hwin, wcwin=wcwin, kh=kh,
-        kw=kw, shared=shared, mask_mode=mask_mode,
+        kw=kw, shared=shared, mask_mode=mask_mode, a_y=a_y, a_xc=a_xc,
     )
 
     def plane_cell(i):
         r = i % nc
         return ((r // n_cells) * g + i // nc, r % n_cells)
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, qd_lanes, p_tile),
+            (lambda i, s: (*plane_cell(i), 0, 0)) if anchored
+            else (lambda i: (*plane_cell(i), 0, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, k2, o, wcwin),
+            (lambda i, s: (i // nc, 0, 0, 0)) if anchored
+            else (lambda i: (i // nc, 0, 0, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, o, p_tile),
+            (lambda i, s: ((i % nc) // n_cells, (i % nc) % n_cells, 0, 0))
+            if anchored
+            else (lambda i: ((i % nc) // n_cells, (i % nc) % n_cells, 0, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, qd_lanes, p_tile),
+            (lambda i, s: (*plane_cell(i), 0, 0)) if anchored
+            else (lambda i: (*plane_cell(i), 0, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, h_e, wc_e),
+            (lambda i, s: (*plane_cell(i), 0, 0)) if anchored
+            else (lambda i: (*plane_cell(i), 0, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, k2, o, wcwin),
+            (lambda i, s: (i // nc, 0, 0, 0)) if anchored
+            else (lambda i: (i // nc, 0, 0, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n * g, n_cells, qd_lanes, p_tile), jnp.float32),
+        jax.ShapeDtypeStruct((n * g, n_cells, h_e, wc_e), jnp.float32),
+        jax.ShapeDtypeStruct((g, k2, o, wcwin), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((2, hwin, wcwin), cdtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if anchored:
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(total,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )
     return pl.pallas_call(
         kernel,
         grid=(total,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, qd_lanes, p_tile),
-                lambda i: (*plane_cell(i), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, k2, o, wcwin),
-                lambda i: (i // nc, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, o, p_tile),
-                lambda i: ((i % nc) // n_cells, (i % nc) % n_cells, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, 1, qd_lanes, p_tile),
-                lambda i: (*plane_cell(i), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, hwin, wcwin),
-                lambda i: (*plane_cell(i), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, k2, o, wcwin),
-                lambda i: (i // nc, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n * g, n_cells, qd_lanes, p_tile), jnp.float32),
-            jax.ShapeDtypeStruct((n * g, n_cells, hwin, wcwin), jnp.float32),
-            jax.ShapeDtypeStruct((g, k2, o, wcwin), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, hwin, wcwin), cdtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )
+
+
+def _overlap_add(dwin, h_e, wc_e, band, xc, n_bands, n_tiles, hp, wcp):
+    """Overlap-add per-cell window cotangents into the padded planes.
+
+    Window (bi, tj) starts at plane row bi*band, lane tj*xc (anchored
+    cells already stored their contribution at the anchored offset
+    INSIDE their extended block), so contributions land on aligned
+    diagonals — a K x L static sum of dense slabs, no serialized
+    scatter."""
+    kk_n = -(-h_e // band)
+    ll_n = -(-wc_e // xc)
+    ng = dwin.shape[0]
+    b = jnp.pad(
+        dwin.reshape(ng, n_bands, n_tiles, h_e, wc_e),
+        ((0, 0), (0, 0), (0, 0), (0, kk_n * band - h_e), (0, ll_n * xc - wc_e)),
+    ).reshape(ng, n_bands, n_tiles, kk_n, band, ll_n, xc)
+    acc = jnp.zeros(
+        (ng, n_bands + kk_n - 1, band, n_tiles + ll_n - 1, xc), jnp.float32
+    )
+    for kk in range(kk_n):
+        for ll in range(ll_n):
+            acc = acc.at[:, kk : kk + n_bands, :, ll : ll + n_tiles, :].add(
+                b[:, :, :, kk, :, ll, :].transpose(0, 1, 3, 2, 4)
+            )
+    return acc.reshape(
+        ng, (n_bands + kk_n - 1) * band, (n_tiles + ll_n - 1) * xc
+    )[:, :hp, :wcp]
 
 
 @functools.lru_cache(maxsize=None)
@@ -546,17 +635,15 @@ def _core_op(geom):
 
     core(qd, wexp, xg) -> (n, cells, o, P). The backward kernel returns
     the qd/wexp cotangents directly; the per-cell window cotangents are
-    overlap-added into the padded source planes here (window starts are
-    band/xtile aligned, so the add is a K x L static diagonal sum of
-    dense slabs — no serialized scatter)."""
+    overlap-added into the padded source planes (``_overlap_add``)."""
     (n, g, n_cells, n_tiles, band, xtile, k2, cpg, o, hwin, wcwin,
      kh, kw, shared, mask_mode, qd_lanes, dtype_str, interpret) = geom
     cdtype = jnp.dtype(dtype_str)
     n_bands = n_cells // n_tiles
     xc = xtile * cpg
 
-    # static (unanchored) window-start table — fullgrad never anchors,
-    # so the starts are a compile-time constant derived from the geometry
+    # static (unanchored) window-start table: a compile-time constant
+    # derived from the geometry
     import numpy as np
 
     cell_i = np.arange(n_cells, dtype=np.int32)
@@ -574,30 +661,53 @@ def _core_op(geom):
     def bwd(res, gout):
         qd, wexp, xg = res
         dqd, dwin, dwexp = _bwd_call(geom)(qd, wexp, gout.astype(jnp.float32), xg)
-
-        # overlap-add the per-cell window cotangents into the padded
-        # planes: window (bi, tj) starts at plane row bi*band, lane
-        # tj*xtile*cpg, so contributions land on aligned diagonals
-        kk_n = -(-hwin // band)
-        ll_n = -(-wcwin // xc)
-        ng, _, _, _ = dwin.shape
-        hp, wcp = xg.shape[1], xg.shape[2]
-        b = jnp.pad(
-            dwin.reshape(ng, n_bands, n_tiles, hwin, wcwin),
-            ((0, 0), (0, 0), (0, 0), (0, kk_n * band - hwin), (0, ll_n * xc - wcwin)),
-        ).reshape(ng, n_bands, n_tiles, kk_n, band, ll_n, xc)
-        acc = jnp.zeros(
-            (ng, n_bands + kk_n - 1, band, n_tiles + ll_n - 1, xc), jnp.float32
-        )
-        for kk in range(kk_n):
-            for ll in range(ll_n):
-                acc = acc.at[:, kk : kk + n_bands, :, ll : ll + n_tiles, :].add(
-                    b[:, :, :, kk, :, ll, :].transpose(0, 1, 3, 2, 4)
-                )
-        dxg = acc.reshape(
-            ng, (n_bands + kk_n - 1) * band, (n_tiles + ll_n - 1) * xc
-        )[:, :hp, :wcp]
+        dxg = _overlap_add(dwin, hwin, wcwin, band, xc, n_bands, n_tiles,
+                           xg.shape[1], xg.shape[2])
         return dqd, dwexp.astype(wexp.dtype), dxg.astype(cdtype)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+@functools.lru_cache(maxsize=None)
+def _core_op_anchored(geom, a_y, a_xc):
+    """Anchored cell-level core with a fully-Pallas custom VJP.
+
+    core(starts, qd, wexp, xg): the per-(n, cell, g) window-start table
+    is a TRACED non-differentiable input (its cotangent is float0). The
+    backward runs ``_dcn_bwd_kernel`` in anchored mode — window DMAs
+    follow the same starts, and each cell's window cotangent is stored
+    at its anchored offset inside an anchor-range-extended block — so
+    the host-side overlap-add keeps the static cell-corner diagonal
+    structure of the unanchored path. The qd cotangent flows back
+    through the residual-clip prep to the raw offsets as usual (the
+    anchor quantization itself is round()-flat, gradient zero a.e.)."""
+    import numpy as np
+
+    (n, g, n_cells, n_tiles, band, xtile, k2, cpg, o, hwin, wcwin,
+     kh, kw, shared, mask_mode, qd_lanes, dtype_str, interpret) = geom
+    cdtype = jnp.dtype(dtype_str)
+    n_bands = n_cells // n_tiles
+    xc = xtile * cpg
+
+    @jax.custom_vjp
+    def core(starts, qd, wexp, xg):
+        return _fwd_call(geom)(starts, qd, wexp, xg)
+
+    def fwd(starts, qd, wexp, xg):
+        return _fwd_call(geom)(starts, qd, wexp, xg), (starts, qd, wexp, xg)
+
+    def bwd(res, gout):
+        starts, qd, wexp, xg = res
+        # fwd table is (n, cells, g, 2)-ordered; the bwd grid is g-major
+        starts_b = starts.reshape(n, n_cells, g, 2).transpose(
+            2, 0, 1, 3).reshape(-1, 2)
+        dqd, dwin, dwexp = _bwd_call(geom, (a_y, a_xc))(
+            starts_b, qd, wexp, gout.astype(jnp.float32), xg)
+        dxg = _overlap_add(dwin, hwin + 2 * a_y, wcwin + 2 * a_xc, band, xc,
+                           n_bands, n_tiles, xg.shape[1], xg.shape[2])
+        return (np.zeros(starts.shape, dtype=jax.dtypes.float0), dqd,
+                dwexp.astype(wexp.dtype), dxg.astype(cdtype))
 
     core.defvjp(fwd, bwd)
     return core
@@ -725,9 +835,10 @@ def deform_conv2d_pallas(
         # anchor-quantization error), not the full ±D range. Exact-within-
         # window becomes "exact whenever |off - cell_anchor| <= dl"; for
         # cell-coherent motion the effective displacement range RISES to
-        # ±(A + dl) > ±D. Inference-only: the backward overlap-add relies
-        # on static window corners.
-        assert not fullgrad, "anchored windows are inference-only"
+        # ±(A + dl) > ±D. Differentiable when fullgrad: the backward
+        # kernel follows the same starts table and stores each cell's
+        # window cotangent at its anchored offset inside an extended
+        # block, keeping the overlap-add's static diagonal structure.
         a_y = round_up(d, sub_tile)       # anchor range/quantum, rows
         a_x = round_up(d, lane_q)         # anchor range/quantum, cols
         dl_r = float(max(12, sub_tile // 2 + 8))
@@ -781,7 +892,12 @@ def deform_conv2d_pallas(
         # accumulator) are f32 either way, so the factor must not be gated
         # on the operand dtype. Inference (fullgrad=False) is unaffected.
         grad_f = (2.4 if shared_taps else 1.6) if fullgrad else 1.0
-        return est * (1.75 if shared_taps else 1.33) * grad_f
+        est = est * (1.75 if shared_taps else 1.33) * grad_f
+        if fullgrad and anchor:
+            # the anchored backward's dwin output block is extended by
+            # the anchor range (double-buffered by the pipeline)
+            est += 2 * (hwin_est + 2 * a_y) * (wcwin_est + 2 * a_x * cpg) * 4
+        return est
 
     while band > band_q and vmem_est(band, xtile) > 15_500_000:
         band -= band_q
@@ -800,6 +916,18 @@ def deform_conv2d_pallas(
         # band 8, Mosaic stack 17.04M). Degrade this op to the
         # XLA-windowed backward (same math, same clamps) instead of
         # compile-OOMing; the forward stays the Mosaic kernel.
+        if anchor:
+            # anchored math: the backward must reproduce the kernel's
+            # anchor cell grid exactly, so the RESOLVED band/xtile are
+            # baked into the mirror (and into its forward request)
+            op = _vjp_wrapped_anchored(
+                max_displacement, band, xtile, sub_tile, lane_q,
+                a_y, a_x, dl_r, dl_c, shared_taps, shared_mask,
+                mask is not None, s2d, interpret)
+            mk = mask if mask is not None else jnp.zeros((0,), jnp.float32)
+            return op(x, offset, mk, weight,
+                      bias if bias is not None
+                      else jnp.zeros((weight.shape[-1],), x.dtype))
         if mask is None:
             op = _vjp_wrapped_nomask(
                 max_displacement, req_band, req_xtile, shared_taps, s2d,
@@ -989,7 +1117,9 @@ def deform_conv2d_pallas(
         "none" if mask is None else ("shared" if shared_mask else "per_tap"),
         qd_lanes, str(jnp.dtype(x.dtype)), interpret,
     )
-    if fullgrad:
+    if fullgrad and anchor:
+        out = _core_op_anchored(geom, a_y, a_x * cpg)(starts, qd, wexp, xg)
+    elif fullgrad:
         out = _core_op(geom)(qd, wexp, xg)
     else:
         out = _fwd_call(geom)(starts, qd, wexp, xg)
@@ -1128,6 +1258,104 @@ def _vjp_wrapped(
     return op
 
 
+def _anchored_effective_offsets(offset, band, xtile, sub_tile, lane_q,
+                                a_y, a_x, dl_r, dl_c):
+    """XLA mirror of the anchored kernel's effective sampling offsets.
+
+    ``offset``: full-resolution logical displacements (N, H, W, G, K, 2),
+    taps already broadcast. ``band``/``xtile`` must be the RESOLVED cell
+    geometry of the Mosaic forward (post-quantization, post-VMEM-shrink)
+    — the anchor field is a function of the cell grid, so fwd/bwd must
+    agree on it exactly. Mirrors the prep in :func:`deform_conv2d_pallas`:
+    per-axis clip to ±(A+dl), tap mean, zero-padded cell mean, quantize
+    to the DMA grid, then anchor + clip(residual, ±dl)."""
+    n, h, w, g, _, _ = offset.shape
+    n_bands, n_tiles = -(-h // band), -(-w // xtile)
+    h_pad, w_pad = n_bands * band - h, n_tiles * xtile - w
+    off = offset.astype(jnp.float32)
+
+    def field(comp, a, quant, dl):
+        m = jnp.clip(comp, -(a + dl), a + dl).mean(axis=4)  # (n,h,w,g)
+        m = jnp.pad(m, ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+        m = m.reshape(n, n_bands, band, n_tiles, xtile, g).mean(axis=(2, 4))
+        q = jnp.clip(jnp.round(m / quant), -(a // quant), a // quant) * quant
+        f = jnp.repeat(jnp.repeat(q, band, axis=1), xtile, axis=2)[:, :h, :w]
+        return jax.lax.stop_gradient(f[..., None])  # (n,h,w,g,1)
+
+    oy, ox = off[..., 0], off[..., 1]
+    fy = field(oy, a_y, sub_tile, dl_r)
+    fx = field(ox, a_x, lane_q, dl_c)
+    eff_y = fy + jnp.clip(oy - fy, -dl_r, dl_r)
+    eff_x = fx + jnp.clip(ox - fx, -dl_c, dl_c)
+    return jnp.stack([eff_y, eff_x], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _vjp_wrapped_anchored(
+    max_displacement: int, band: int, xtile: int, sub_tile: int, lane_q: int,
+    a_y: int, a_x: int, dl_r: float, dl_c: float, shared_taps: bool,
+    shared_mask: bool, has_mask: bool, s2d: int, interpret: bool
+):
+    """Anchored custom_vjp fallback for geometries whose Pallas backward
+    exceeds scoped VMEM. Forward: the Mosaic anchored kernel AT THE
+    RESOLVED band/xtile (so the anchor cell grid is pinned). Backward:
+    ``jax.vjp`` of the effective-offset XLA formulation — identical
+    anchors and clips, evaluated by ``deform_conv2d_windowed`` at a
+    widened D so its own clamp and halo are inactive.
+
+    ``has_mask=False`` (the plain warp): the mask argument is a (0,)
+    dummy; the backward differentiates a unit-mask formulation and
+    returns a zero cotangent for the dummy slot."""
+
+    @jax.custom_vjp
+    def op(x, offset, mask, weight, bias):
+        return deform_conv2d_pallas(
+            x, offset, mask if has_mask else None, weight, bias,
+            max_displacement=max_displacement, band=band, xtile=xtile,
+            shared_taps=shared_taps, shared_mask=shared_mask, s2d=s2d,
+            anchor=True, interpret=interpret)
+
+    def fwd(x, offset, mask, weight, bias):
+        return op(x, offset, mask, weight, bias), (x, offset, mask, weight, bias)
+
+    def bwd(res, g_out):
+        from crfp_tpu.ops.dcn_windowed import deform_conv2d_windowed
+        from crfp_tpu.ops.shuffle import pixel_unshuffle
+
+        x, offset, mask, weight, bias = res
+        k2 = weight.shape[0] * weight.shape[1]
+        d_wide = int(max(a_y + dl_r, a_x + dl_c)) + 1
+
+        def f(x, offset, mask, weight, bias):
+            if s2d > 1:
+                x, offset, mask = _s2d_to_logical(
+                    shared_taps, k2, s2d, x, offset,
+                    mask if has_mask else None)
+            if shared_taps:
+                offset = jnp.broadcast_to(offset, offset.shape[:4] + (k2, 2))
+            if has_mask and shared_mask:
+                mask = jnp.broadcast_to(mask, mask.shape[:4] + (k2,))
+            if not has_mask:
+                mask = jnp.ones(offset.shape[:-1], jnp.float32)
+            off_eff = _anchored_effective_offsets(
+                offset, band, xtile, sub_tile, lane_q, a_y, a_x, dl_r, dl_c)
+            out = deform_conv2d_windowed(
+                x, off_eff, mask, weight, bias, max_displacement=d_wide)
+            return pixel_unshuffle(out, s2d) if s2d > 1 else out
+
+        gc = g_out.astype(jnp.float32) if g_out.dtype != x.dtype else g_out
+        if has_mask:
+            _, pullback = jax.vjp(f, x, offset, mask, weight, bias)
+            return pullback(gc)
+        _, pullback = jax.vjp(
+            lambda x, o, w, b: f(x, o, None, w, b), x, offset, weight, bias)
+        dx, doff, dw, db = pullback(gc)
+        return dx, doff, jnp.zeros_like(mask), dw, db
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def deform_conv2d_pallas_vjp(
     x: jax.Array,
     offset: jax.Array,
@@ -1142,6 +1370,7 @@ def deform_conv2d_pallas_vjp(
     shared_mask: bool = False,
     s2d: int = 1,
     anchor: bool = False,
+    anchor_vjp: bool = False,
     backward: str = "pallas",  # 'pallas' | 'xla'
     interpret: bool = False,
 ) -> jax.Array:
@@ -1158,16 +1387,27 @@ def deform_conv2d_pallas_vjp(
     ``mask=None`` means unit modulation (the plain warp): the mask field
     is dropped from the kernel's query data and its gradient is skipped.
     ``shared_mask`` / ``s2d`` / ``anchor``: see
-    :func:`deform_conv2d_pallas`. ``anchor=True`` is inference-only: no
-    VJP is attached, so differentiating raises instead of silently using
-    unanchored windows in the backward.
+    :func:`deform_conv2d_pallas`.
+
+    ``anchor=True`` alone keeps the round-3 inference contract: no VJP
+    is attached (differentiating raises instead of silently using
+    unanchored windows in the backward) and the geometry resolves
+    WITHOUT the backward's VMEM factor — the fast deployment path.
+    ``anchor_vjp=True`` makes the anchored op trainable: the custom VJP
+    runs ``_dcn_bwd_kernel`` in anchored mode (window DMAs follow the
+    same per-cell starts table; each cell's window cotangent lands at
+    its anchored offset inside an extended block so the overlap-add
+    stays scatter-free), degrading to the geometry-mirrored XLA
+    effective-offset backward where the Pallas backward exceeds scoped
+    VMEM. Training pays the backward-sized tile geometry in the forward
+    too — keep ``anchor_vjp=False`` for pure inference.
     """
     if anchor:
         return deform_conv2d_pallas(
             x, offset, mask, weight, bias,
             max_displacement=max_displacement, band=band, xtile=xtile,
             shared_taps=shared_taps, shared_mask=shared_mask, s2d=s2d,
-            anchor=True, interpret=interpret,
+            anchor=True, fullgrad=anchor_vjp, interpret=interpret,
         )
     if backward == "pallas":
         return deform_conv2d_pallas(

@@ -32,6 +32,7 @@ def flow_warp_windowed_pallas(
     *,
     max_displacement: int = 32,
     anchor: bool = False,
+    anchor_vjp: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Warp ``x`` (N,H,W,C) by ``flow`` (N,H,W,2; channels (dx, dy) like
@@ -47,7 +48,7 @@ def flow_warp_windowed_pallas(
     return deform_conv2d_pallas_vjp(
         x, off, None, eye, None,
         max_displacement=max_displacement, band=64, xtile=32,
-        anchor=anchor, interpret=interpret,
+        anchor=anchor, anchor_vjp=anchor_vjp, interpret=interpret,
     )
 
 
@@ -58,6 +59,7 @@ def flow_warp_windowed_pallas_s2d(
     r: int = 4,
     max_displacement: int = 32,
     anchor: bool = False,
+    anchor_vjp: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """The windowed warp with every operand in space-to-depth(r) layout
@@ -80,13 +82,14 @@ def flow_warp_windowed_pallas_s2d(
     return deform_conv2d_pallas_vjp(
         x_s2d, off, None, eye, None,
         max_displacement=max_displacement, band=32, xtile=32, s2d=r,
-        anchor=anchor, interpret=interpret,
+        anchor=anchor, anchor_vjp=anchor_vjp, interpret=interpret,
     )
 
 
 def flow_warp_maybe_windowed(
     x: jax.Array, flow: jax.Array, window: int | None, *,
     anchor: bool = False,
+    anchor_vjp: bool = False,
 ) -> jax.Array:
     """Model-side dispatch: exact gather warp when ``window`` is None; the
     Pallas windowed kernel on TPU; an exactly-equivalent clipped-flow
@@ -95,13 +98,14 @@ def flow_warp_maybe_windowed(
         return flow_warp_xla(x, flow)
     if jax.default_backend() == "tpu":
         return flow_warp_windowed_pallas(x, flow, max_displacement=window,
-                                         anchor=anchor)
+                                         anchor=anchor, anchor_vjp=anchor_vjp)
     return flow_warp_xla(x, jnp.clip(flow, -float(window), float(window)))
 
 
 def flow_warp_maybe_windowed_s2d(
     x_s2d: jax.Array, flow_s2d: jax.Array, window: int | None, r: int = 4, *,
     anchor: bool = False,
+    anchor_vjp: bool = False,
 ) -> jax.Array:
     """s2d-layout counterpart of :func:`flow_warp_maybe_windowed` (used by
     the hr_s2d model tail, which keeps its HR state in s2d(4) layout).
@@ -111,7 +115,8 @@ def flow_warp_maybe_windowed_s2d(
 
     if window is not None and jax.default_backend() == "tpu":
         return flow_warp_windowed_pallas_s2d(
-            x_s2d, flow_s2d, r=r, max_displacement=window, anchor=anchor)
+            x_s2d, flow_s2d, r=r, max_displacement=window, anchor=anchor,
+            anchor_vjp=anchor_vjp)
     x = pixel_shuffle(x_s2d, r)
     flow = pixel_shuffle(flow_s2d, r)
     if window is None:

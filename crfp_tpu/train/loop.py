@@ -137,9 +137,6 @@ def make_train_step(model: CRFP, cfg: TrainConfig, mesh: jax.sharding.Mesh | Non
     'mk' (B,T,8h,8w,1); B is sharded over the 'data' mesh axis when a mesh
     is given.
     """
-    assert not model.cfg.dcn_anchor, (
-        "dcn_anchor is inference-only (anchored windows have no VJP); "
-        "train with dcn_anchor=False and enable it for deployment")
 
     def loss_fn(params, batch):
         if cfg.amp:

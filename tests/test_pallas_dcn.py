@@ -325,9 +325,10 @@ def test_pallas_anchored_warp_beyond_window_is_exact():
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
 
 
-def test_pallas_anchored_refuses_grad():
-    # anchored windows are inference-only: no VJP is attached, so
-    # differentiation must raise instead of silently mixing geometries
+def test_pallas_anchored_refuses_grad_without_anchor_vjp():
+    # the pure-inference anchored path (anchor_vjp=False) attaches no
+    # VJP, so differentiation must raise instead of silently mixing
+    # geometries — opt into anchored training with anchor_vjp=True
     from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_vjp
 
     rng = np.random.default_rng(24)
@@ -344,6 +345,97 @@ def test_pallas_anchored_refuses_grad():
 
     with pytest.raises(Exception):
         jax.grad(loss)(x)
+
+
+def _anchor_mirror_geom(d, cpg, pad, sub_tile=8):
+    """The anchored kernel's quantization constants (mirror of the prep
+    formulas in crfp_tpu/ops/pallas/dcn.py)."""
+    import math
+
+    def round_up(v, m):
+        return -(-v // m) * m
+
+    lane_q = 128 // math.gcd(cpg, 128)
+    a_y = round_up(d, sub_tile)
+    a_x = round_up(d, lane_q)
+    dl_r = float(max(12, sub_tile // 2 + 8))
+    dl_c = float(max(12, lane_q // 2 + 8))
+    halo_r = round_up(int(dl_r) + pad + 2, sub_tile // 2)
+    halo_c = round_up(int(dl_c) + pad + 2, max(1, lane_q // 2))
+    return lane_q, a_y, a_x, float(halo_r - pad - 2), float(halo_c - pad - 2)
+
+
+def test_pallas_anchored_grads_match_effective_offset_mirror():
+    # anchor_vjp=True: the anchored Mosaic backward (window DMAs follow
+    # the starts table; extended dwin blocks) must produce the gradients
+    # of the effective-offset math: eff = anchor + clip(off - anchor, dl)
+    from crfp_tpu.ops.pallas.dcn import (_anchored_effective_offsets,
+                                         deform_conv2d_pallas_vjp)
+
+    rng = np.random.default_rng(30)
+    n, h, w, c, g = 1, 19, 27, 8, 2
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    base = jnp.asarray([14.3, -11.7], jnp.float32)  # beyond D=8
+    off = base + jnp.asarray(rng.uniform(-2, 2, (n, h, w, g, 9, 2)), jnp.float32)
+    mk = jnp.asarray(rng.uniform(0, 1, (n, h, w, g, 9)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.2, jnp.float32)
+
+    def loss_pallas(x, off, mk, wt):
+        return jnp.sum(deform_conv2d_pallas_vjp(
+            x, off, mk, wt, None, max_displacement=8, anchor=True,
+            anchor_vjp=True, interpret=True) ** 2)
+
+    got = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, off, mk, wt)
+
+    lane_q, a_y, a_x, dl_r, dl_c = _anchor_mirror_geom(8, c // g, 1)
+
+    def loss_mirror(x, off, mk, wt):
+        # resolved geometry for this call: f32 -> band 8; xtile 32
+        eff = _anchored_effective_offsets(off, 8, 32, 8, lane_q, a_y, a_x,
+                                          dl_r, dl_c)
+        return jnp.sum(deform_conv2d(x, eff, mk, wt, None) ** 2)
+
+    want = jax.grad(loss_mirror, argnums=(0, 1, 2, 3))(x, off, mk, wt)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_pallas_anchored_grads_fallback_geometry():
+    # huge-halo geometry (D=64, cpg=64 -> lane_q=2): the Pallas backward
+    # exceeds scoped VMEM and the op must degrade to the geometry-mirrored
+    # XLA effective-offset backward — gradients still match the mirror
+    from crfp_tpu.ops.pallas.dcn import (_anchored_effective_offsets,
+                                         deform_conv2d_pallas_vjp)
+    from crfp_tpu.ops.warp import flow_warp
+
+    rng = np.random.default_rng(31)
+    n, h, w, c = 1, 16, 16, 64
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-40, 40, (n, h, w, 2)), jnp.float32)
+    off = jnp.stack([flow[..., 1], flow[..., 0]], -1).reshape(n, h, w, 1, 1, 2)
+    eye = jnp.eye(c, dtype=x.dtype).reshape(1, 1, c, c)
+
+    def loss_w(x, off):
+        return jnp.sum(deform_conv2d_pallas_vjp(
+            x, off, None, eye, None, max_displacement=64, band=8, xtile=8,
+            anchor=True, anchor_vjp=True, interpret=True) ** 2)
+
+    got = jax.grad(loss_w, argnums=(0, 1))(x, off)
+
+    lane_q, a_y, a_x, dl_r, dl_c = _anchor_mirror_geom(64, c, 0)
+
+    def loss_m(x, off):
+        # floor geometry: band 8, xtile 16 (xstep = lcm(2, 16))
+        eff = _anchored_effective_offsets(off, 8, 16, 8, lane_q, a_y, a_x,
+                                          dl_r, dl_c)
+        mk = jnp.ones(off.shape[:-1], jnp.float32)
+        return jnp.sum(deform_conv2d(x, eff, mk, eye, None) ** 2)
+
+    want = jax.grad(loss_m, argnums=(0, 1))(x, off)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-4)
 
 
 def test_fusedprep_matches_structured_and_oracle():

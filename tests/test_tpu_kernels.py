@@ -326,3 +326,76 @@ def test_compiled_fusedprep_matches_structured(dtype, tol, c, band, xtile):
     )(x, offc.reshape(n, h, w, g, k2, 2), mskc.reshape(n, h, w, g, k2)),
         np.float32)
     np.testing.assert_allclose(got, want, atol=tol, rtol=tol)
+
+
+@requires_tpu
+def test_compiled_anchored_vjp_matches_interpret():
+    """anchor_vjp=True compiled on-chip: the anchored Mosaic backward
+    (starts-table DMAs, anchor-extended dwin blocks) vs interpret mode —
+    which tests/test_pallas_dcn.py gates against the effective-offset XLA
+    mirror. Catches Mosaic lowering/layout regressions in the new
+    scalar-prefetch backward."""
+    from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_vjp
+
+    rng = np.random.default_rng(9)
+    n, h, w, c, g = 1, 24, 40, 8, 2
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    base = jnp.asarray([14.3, -11.7], jnp.float32)  # beyond ±8
+    off = base + jnp.asarray(rng.uniform(-2, 2, (n, h, w, g, 9, 2)), jnp.float32)
+    mk = jnp.asarray(rng.uniform(0, 1, (n, h, w, g, 9)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32)
+
+    def loss(interp):
+        def f(x, off, mk, wgt):
+            o = deform_conv2d_pallas_vjp(
+                x, off, mk, wgt, None, max_displacement=8, anchor=True,
+                anchor_vjp=True, interpret=interp)
+            return (o * o).sum()
+        return f
+
+    gc = jax.jit(jax.grad(loss(False), argnums=(0, 1, 2, 3)))(x, off, mk, wgt)
+    gi = jax.grad(loss(True), argnums=(0, 1, 2, 3))(x, off, mk, wgt)
+    for a, b, name in zip(gc, gi, ("x", "offset", "mask", "weight")):
+        err = float(jnp.abs(a - b).max())
+        rel = err / (float(jnp.abs(b).max()) + 1e-6)
+        assert rel <= 2e-4, (name, err, rel)
+
+
+@requires_tpu
+def test_compiled_anchored_vjp_shared_s2d_grads():
+    """The TRAINED deployment geometry — anchored + shared taps/mask +
+    s2d(4) (the dcn_3/HR-warp shape with dcn_anchor on in the batch
+    trunk) — compiled gradients vs interpret mode."""
+    from crfp_tpu.ops.pallas.dcn import deform_conv2d_pallas_vjp
+    from crfp_tpu.ops.shuffle import pixel_unshuffle
+
+    rng = np.random.default_rng(10)
+    n, h, w, c, d, r = 1, 32, 64, 4, 32, 4
+    r2 = r * r
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    base = jnp.asarray([37.0, -35.0], jnp.float32)  # beyond ±32
+    shared = base + jnp.asarray(rng.uniform(-3, 3, (n, h, w, 1, 1, 2)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(0, 1, (n, h, w, 1, 1)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32)
+
+    xs = pixel_unshuffle(x, r)
+    offs = pixel_unshuffle(shared.reshape(n, h, w, 2), r).reshape(
+        n, h // r, w // r, 1, 1, 2, r2)
+    masks = pixel_unshuffle(mask.reshape(n, h, w, 1), r).reshape(
+        n, h // r, w // r, 1, 1, r2)
+
+    def loss(interp):
+        def f(xs, offs, masks, wgt):
+            o = deform_conv2d_pallas_vjp(
+                xs, offs, masks, wgt, None, max_displacement=d,
+                shared_taps=True, shared_mask=True, s2d=r, anchor=True,
+                anchor_vjp=True, interpret=interp)
+            return (o * o).sum()
+        return f
+
+    gc = jax.jit(jax.grad(loss(False), argnums=(0, 1, 2, 3)))(xs, offs, masks, wgt)
+    gi = jax.grad(loss(True), argnums=(0, 1, 2, 3))(xs, offs, masks, wgt)
+    for a, b, name in zip(gc, gi, ("x", "offset", "mask", "weight")):
+        err = float(jnp.abs(a - b).max())
+        rel = err / (float(jnp.abs(b).max()) + 1e-6)
+        assert rel <= 2e-4, (name, err, rel)
