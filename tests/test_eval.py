@@ -96,3 +96,26 @@ def test_streaming_zone_eval_accumulates():
     assert len(ev.results["psnr_whole"]) == 4
     assert len(ev.results["psnr_past"]) == 3  # first frame has no past
     assert np.isfinite(s["psnr_whole"]) and np.isfinite(s["ssim_past"])
+
+
+def test_onchip_zone_eval_matches_host_eval():
+    # the single-dispatch on-device evaluator (rect-reconstructed masks,
+    # batched 4-zone metrics) must agree with the scipy/host path on a
+    # wandering gaze, including clipped-at-border and inactive frames
+    from crfp_tpu.eval.zones import OnChipZoneEval
+
+    rng = np.random.default_rng(11)
+    h, w, fv = 64, 96, 16
+    host = StreamingZoneEval()
+    chip = OnChipZoneEval(fv)
+    gazes = [(30.0, 50.0), (2.0, 2.0), (62.0, 94.0), (31.0, 49.0), (40.0, 10.0)]
+    for i, g in enumerate(gazes):
+        sr = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
+        gt = np.clip(sr + 0.02, 0, 1).astype(np.float32)
+        z = zone_masks_step(h, w, g, fv, active=(i != 1))
+        host.update(sr, gt, z)
+        chip.update(sr, gt, z)
+    a, b = host.summary(), chip.summary()
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_allclose(b[k], a[k], rtol=0, atol=2e-4, err_msg=k)
