@@ -115,7 +115,8 @@ def run_trained_quality(
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt", default="checkpoints/v18_mid16_procedural.npz")
+    p.add_argument("--ckpt", default="checkpoints/v18_mid32_procedural.npz")
+    p.add_argument("--mid", type=int, default=32)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
@@ -124,7 +125,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     print("| v (LR px/f) | D | exact-vs-win dB | exact-vs-GT | win-vs-GT |")
     print("|---|---|---|---|---|")
-    for r in run_trained_quality(args.ckpt):
+    for r in run_trained_quality(args.ckpt, mid_channels=args.mid):
         print(f"| {r.v_px} | {r.window} | {r.agree_db} | {r.exact_db} | {r.win_db} |")
 
 

@@ -387,10 +387,16 @@ def golden_config5(t=5, h=24, w=40, mid=16, warp=(128, 128), fv=48, seed=0):
 def main():
     # goldens are minted on CPU for bit-reproducibility (the axon
     # sitecustomize would otherwise route jax to the TPU)
+    import argparse
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    print("# GOLDEN — paired torch-mirror vs crfp_tpu numbers (procedural data)")
+    ap = argparse.ArgumentParser()
+    # flagship width (reference main.py:34); 16 reproduces the r2/r3 mint
+    ap.add_argument("--mid", type=int, default=32)
+    mid = ap.parse_args().mid
+    print(f"# GOLDEN — paired torch-mirror vs crfp_tpu numbers (procedural data, mid={mid})")
     print()
     print("Minted by tests/mint_golden.py (see its docstring). Budget:")
     print("PSNR pairs within 0.05 dB, SSIM within 1e-3.")
@@ -407,7 +413,7 @@ def main():
     dmax = max(abs(a - b) for a, b in zip(c1["torch"]["psnr"], c1["jax"]["psnr"]))
     print(f"\nmax |dPSNR| = {dmax:.4f} dB")
     print()
-    c2 = golden_config2()
+    c2 = golden_config2(mid=mid)
     print("## Config 2 — CRFP_DSV (v18) 8x foveated inference, sigma=10 gaze")
     print()
     print("| zone | torch PSNR | jax PSNR | torch SSIM | jax SSIM |")
@@ -419,7 +425,7 @@ def main():
     d2 = max(abs(c2["torch"][z][0] - c2["jax"][z][0]) for z in ("whole", "fovea"))
     print(f"\nmax |dPSNR| = {d2:.4f} dB")
     print()
-    c3 = golden_config3()
+    c3 = golden_config3(mid=mid)
     print("## Config 3 — v18 streaming 4-zone eval, sigma sweep (test_video.py)")
     print()
     print("| sigma | zone | torch PSNR | jax PSNR | torch SSIM | jax SSIM |")
@@ -431,7 +437,7 @@ def main():
             d3 = max(d3, abs(tp - jp))
     print(f"\nmax |dPSNR| = {d3:.4f} dB")
     print()
-    c4 = golden_config4()
+    c4 = golden_config4(mid=mid)
     print("## Config 4 — paired 5-step training run (reference recipe)")
     print()
     print("| step | torch loss | jax loss | rel diff |")
@@ -439,7 +445,7 @@ def main():
     for i, (tl, jl) in enumerate(zip(c4["torch"], c4["jax"])):
         print(f"| {i} | {tl:.6f} | {jl:.6f} | {abs(tl-jl)/tl:.2e} |")
     print()
-    c5 = golden_config5()
+    c5 = golden_config5(mid=mid)
     print("## Config 5 — runtime (warp_size ROI) protocol pair")
     print()
     print("| stack | PSNR vs GT | SSIM vs GT |")
