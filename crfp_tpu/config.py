@@ -121,6 +121,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--print_every", type=int, default=1)
     p.add_argument("--save_every", type=int, default=999999)
     p.add_argument("--val_every", type=int, default=999999)
+    # training visual dashboard (crfp_tpu/train/viz.py): every N iters
+    # dump SR/GT/fovea frames + foveated patch heat-maps to
+    # save_dir/viz/ and serve them via save_dir/dashboard.html — the
+    # local replacement for the reference's visdom windows
+    # (/root/reference/trainer.py:85-105, 675-695; --visdom_port there).
+    # 0 disables.
+    p.add_argument("--viz_every", type=int, default=0)
 
     ### debugging (SURVEY.md §5.2: the functional-purity analog of the
     ### reference's cuda-synchronize discipline)

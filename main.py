@@ -61,6 +61,11 @@ def train(args, logger):
     mesh = data_parallel_mesh(args.num_gpu) if args.num_gpu > 1 else None
     step_fn = make_train_step(model, tcfg, mesh)
     ckpt = CheckpointManager(os.path.join(args.save_dir, "model"))
+    viz = None
+    if args.viz_every > 0:
+        from crfp_tpu.train.viz import TrainViz
+
+        viz = TrainViz(model, args.save_dir, every=args.viz_every)
 
     state = None
     cur_iter = 0
@@ -98,6 +103,9 @@ def train(args, logger):
             if cur_iter % args.save_every == 0:
                 ckpt.save(cur_iter, state)
                 logger.info(f"saved checkpoint @ iter {cur_iter}")
+            if viz is not None and viz.update(cur_iter, state.params, jbatch):
+                logger.info(f"viz frames dumped @ iter {cur_iter} -> "
+                            f"{os.path.join(args.save_dir, 'viz')}")
         if (epoch + 1) % args.val_every == 0:
             res = evaluate_clips(model, state.params, loaders["eval"], args.y_only, logger.info)
             logger.info(f"eval epoch {epoch}: {res}")

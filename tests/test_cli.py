@@ -45,7 +45,7 @@ def test_main_train_then_eval(tmp_path):
     tmp = str(tmp_path)
     _make_fake_reds(tmp, n_frames=3, gt_hw=(96, 128))
 
-    args = parse_args(_argv(tmp, []))
+    args = parse_args(_argv(tmp, ["--viz_every", "2"]))
     logger = mk_exp_dir(args)
     cli.train(args, logger)
 
@@ -54,6 +54,9 @@ def test_main_train_then_eval(tmp_path):
     assert steps, os.listdir(model_dir)
     assert os.path.exists(os.path.join(tmp, "exp", "args.txt"))
     assert os.path.exists(os.path.join(tmp, "exp", "metrics.jsonl"))
+    # visual dashboard (train/viz.py wired through --viz_every)
+    assert os.path.exists(os.path.join(tmp, "exp", "dashboard.html"))
+    assert os.path.exists(os.path.join(tmp, "exp", "viz", "latest_sr.png"))
 
     # eval mode over the checkpoint directory
     args2 = parse_args(
