@@ -112,6 +112,10 @@ def main() -> None:
     p.add_argument("--amp", action="store_true",
                    help="bf16 compute with f32 masters (TrainConfig.amp)")
     p.add_argument("--no_cache", action="store_true")
+    # train with per-cell anchored windows (the deployment kernel's
+    # anchor_vjp backward — TPU backend; CPU falls back to the plain
+    # clamp). Used by the anchored-vs-plain training A/B in docs/DEPLOY.md.
+    p.add_argument("--dcn_anchor", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -132,7 +136,7 @@ def main() -> None:
 
     cfg = ModelConfig(variant=args.variant, mid_channels=args.mid,
                       dcn_window=args.dcn_window, dcn_window_hr=args.dcn_window_hr,
-                      remat=True)
+                      dcn_anchor=args.dcn_anchor, remat=True)
     model = CRFP(cfg)
     tcfg = TrainConfig(lr_rate=args.lr, flow_freeze_iters=args.flow_freeze,
                        periods=(max(args.iters, 1),), amp=args.amp)
