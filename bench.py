@@ -72,9 +72,16 @@ def main() -> None:
         preset="720p", warp_size=(720, 1280), repeat_time=20, warm_up=5,
         **_DEPLOY,
     )
+    # beyond-reference protocol: full-frame 1080p (the reference's only
+    # 1080p path is the lossy warp_size crop, CRFP_runtime.py:8492)
+    full1080 = run_runtime_bench(
+        preset="1080p", warp_size=(1080, 1920), repeat_time=15, warm_up=5,
+        **_DEPLOY,
+    )
 
     fps = roi.frames_per_sec
     full_fps = full.frames_per_sec
+    full1080_fps = full1080.frames_per_sec
     print(
         json.dumps(
             {
@@ -88,7 +95,13 @@ def main() -> None:
                         "value": round(full_fps, 3),
                         "unit": "frames/sec/chip",
                         "vs_baseline": round(full_fps / 30.0, 3),
-                    }
+                    },
+                    {
+                        "metric": "1080p_8x_foveated_sr_streaming_fullframe",
+                        "value": round(full1080_fps, 3),
+                        "unit": "frames/sec/chip",
+                        "vs_baseline": round(full1080_fps / 30.0, 3),
+                    },
                 ],
             }
         )
