@@ -116,6 +116,11 @@ def main() -> None:
     # anchor_vjp backward — TPU backend; CPU falls back to the plain
     # clamp). Used by the anchored-vs-plain training A/B in docs/DEPLOY.md.
     p.add_argument("--dcn_anchor", action="store_true")
+    # continue from an existing .npz checkpoint: params are restored,
+    # Adam moments restart fresh (the npz format stores params only —
+    # full opt-state resume is the orbax path in main.py). Keep the lr
+    # schedule sensible by passing the REMAINING --iters.
+    p.add_argument("--resume", default=None)
     args = p.parse_args()
 
     import jax
@@ -149,6 +154,13 @@ def main() -> None:
 
     state = create_train_state(model, jax.random.PRNGKey(args.seed),
                                {k: v[:1] for k, v in batch.items()}, tcfg)
+    if args.resume:
+        loaded = jax.tree.map(jnp.asarray, load_params(args.resume))
+        chex_shapes = jax.tree.map(lambda a, b: a.shape == b.shape,
+                                   loaded, state.params)
+        assert all(jax.tree.leaves(chex_shapes)), "resume param shape mismatch"
+        state = state.replace(params=loaded)
+        print(f"resumed params from {args.resume}", flush=True)
     train_step = make_train_step(model, tcfg)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"{n_params/1e6:.2f}M params; compiling train step...", flush=True)
