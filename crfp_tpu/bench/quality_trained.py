@@ -13,7 +13,7 @@ mode vs windowed-kernel mode, and reports
   just agreement).
 
 Run:  python -m crfp_tpu.bench.quality_trained \
-          --ckpt checkpoints/v18_mid16_procedural.npz
+          --ckpt checkpoints/v18_mid32_procedural.npz --mid 32
 """
 
 from __future__ import annotations
