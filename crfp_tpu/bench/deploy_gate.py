@@ -16,7 +16,12 @@ generated 720p clips, in two configurations on IDENTICAL inputs:
   and the hr_s2d space-to-depth(4) tail. (bench.py's remaining knobs are
   wrapper-level, not numerics: ``emit_s2d`` returns the same frame in
   s2d layout — bit-exactness pinned by tests/test_pallas_emit.py — and
-  ``fused`` only merges the per-frame jit programs.)
+  ``fused`` only merges the per-frame jit programs.) Since ADVICE r4 the
+  batch trunk's anchored ops take ``ModelConfig.dcn_anchor_vjp`` for the
+  backward-geometry coupling, so this gate's ``dcn_anchor=True`` now
+  resolves the same fast forward-only anchored cell grid the runtime
+  models ship with — the gate measures the deployed geometry, not the
+  training one.
 
 Per zone (whole / fovea / outskirt / past) it reports each path's
 PSNR/SSIM vs ground truth and the DEPLOY-EXACT delta, plus the direct

@@ -39,7 +39,7 @@ def run_trained_quality(
     windows=(8,),
     lr_hw=(24, 40),
     frames: int = 6,
-    mid_channels: int = 16,
+    mid_channels: int = 32,
     seed: int = 7,
 ) -> list[TrainedQualityRow]:
     import jax

@@ -76,6 +76,7 @@ def run_runtime_bench(
     dcn_anchor: bool = False,
     emit_s2d: bool = False,
     fused: bool = False,
+    params_path: str | None = None,
 ) -> BenchResult:
     """``fused``: time one jitted flow+encode+step program per frame with a
     single sync per rep chain (the deployment number — the per-stage mode
@@ -106,6 +107,14 @@ def run_runtime_bench(
         return model.init(key, method=run)
 
     params = jax.jit(init)(jax.random.PRNGKey(0))
+    if params_path:
+        # trained batch-trunk checkpoint adapted onto the runtime trunk
+        # (mid_channels must match the checkpoint's width)
+        from crfp_tpu.models.runtime import runtime_params_from_batch
+        from crfp_tpu.utils.params_io import load_params
+
+        params, n_unmapped = runtime_params_from_batch(load_params(params_path), params)
+        print(f"loaded {params_path} ({n_unmapped} runtime-only leaves kept at init)")
     if bf16:
         from crfp_tpu.utils.precision import cast_pytree
 

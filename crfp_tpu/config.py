@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", type=str, default="REDS")
     p.add_argument("--dataset_dir", type=str, default="/Data/REDS_sharp/")
     p.add_argument("--num_workers", type=int, default=4)
+    # --dataset procedural only: clips per split (0 = the split's default)
+    p.add_argument("--procedural_clips", type=int, default=0)
     p.add_argument("--frame_cache", type=str, default=None,
                    help="directory for the decode-once raw frame cache "
                         "(crfp_tpu/data/cache.py); unset = decode PNGs per read")
@@ -165,6 +167,12 @@ def model_config(args) -> ModelConfig:
         hr_s2d=args.hr_s2d,
         lv3_s2d=args.lv3_s2d,
         dcn_anchor=getattr(args, "dcn_anchor", False),
+        # the anchored backward's fullgrad tile geometry is a training
+        # concern: only the train dispatch pays for it (ADVICE r4)
+        dcn_anchor_vjp=(
+            getattr(args, "dcn_anchor", False)
+            and not (getattr(args, "eval", False) or getattr(args, "test", False))
+        ),
     )
 
 

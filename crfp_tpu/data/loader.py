@@ -114,6 +114,10 @@ def get_dataloader(args) -> dict[str, Loader]:
         from crfp_tpu.data import reds as mod
     elif name in ("vimeo7", "vimeo"):
         from crfp_tpu.data import vimeo as mod
+    elif name == "procedural":
+        # generated structured-content clips — the no-REDS-in-container
+        # path for end-to-end train/eval/test (crfp_tpu/data/procedural.py)
+        from crfp_tpu.data import procedural as mod
     else:
         raise SystemExit(f"Dataset '{args.dataset}' is not implemented")
     # training doesn't need LR_sr (y_only-only) or the pre-multiplied fovea

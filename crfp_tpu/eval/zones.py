@@ -131,8 +131,14 @@ class OnChipZoneEval:
             ones = jnp.ones_like(fovea)
             out = []
             for m in (ones, fovea, outskirt, past):
-                out.append(masked_psnr(sr, gt, m))
-                out.append(masked_ssim(sr, gt, m))
+                # an all-zero mask (e.g. 'past' on a clip's first frame)
+                # would make the masked mean 0/0 NaN on device even though
+                # the host discards it — substitute ones so jax_debug_nans
+                # stays clean (ADVICE r4)
+                nz = m.sum() > 0
+                safe = jnp.where(nz, m, ones)
+                out.append(jnp.where(nz, masked_psnr(sr, gt, safe), 0.0))
+                out.append(jnp.where(nz, masked_ssim(sr, gt, safe), 0.0))
             return jnp.stack(out)
 
         self._metrics = jax.jit(metrics)

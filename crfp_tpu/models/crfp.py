@@ -106,12 +106,18 @@ class ModelConfig:
     # cell corner, cutting the ±dcn_window_hr halo to residual size
     # (~2-3.5x less kernel work) while RAISING the effective displacement
     # range for cell-coherent motion (crfp_tpu/ops/pallas/dcn.py).
-    # TRAINABLE here: this batch trunk attaches the anchored Mosaic
-    # backward (anchor_vjp), so you train exactly what you deploy — at
-    # backward-sized tile geometry. The runtime models keep the fast
-    # forward-only anchored path. The 1/4-res stages keep plain windows
-    # (their ±8 halo is already quantum-sized).
+    # The 1/4-res stages keep plain windows (their ±8 halo is already
+    # quantum-sized).
     dcn_anchor: bool = False
+    # attach the anchored Mosaic backward (anchor_vjp) to the anchored
+    # windowed ops, so you train exactly what you deploy — at
+    # backward-sized (fullgrad) tile geometry, which also changes the
+    # resolved band/xtile of the FORWARD cell grid. Training entry points
+    # set this (config.model_config in train dispatch, train_procedural
+    # --dcn_anchor); inference instantiations — the runtime models,
+    # bench.py, deploy_gate — keep it False so they measure the fast
+    # forward-only anchored geometry actually shipped (ADVICE r4).
+    dcn_anchor_vjp: bool = False
     # fused-prep windowed kernel for the 1/4-res alignment stages
     # (dcn_0/1/2): the offset/mask head outputs feed the Mosaic kernel in
     # their dense conv layout and the per-query data is built in VMEM,
@@ -164,6 +170,8 @@ class CRFP(nn.Module):
             assert cfg.hr_s2d, "lv3_s2d builds on the hr_s2d tail"
             assert cfg.dcn_window is not None, (
                 "lv3_s2d requires the windowed DCN (s2d kernel operands)")
+        if cfg.dcn_anchor_vjp:
+            assert cfg.dcn_anchor, "dcn_anchor_vjp trains the anchored path"
         if cfg.dcn_fused:
             assert cfg.dcn_window is not None, (
                 "dcn_fused is a windowed-kernel dispatch mode")
@@ -199,7 +207,7 @@ class CRFP(nn.Module):
                 self.dcn_3 = DCNAlign(
                     last, 1, dk, mag, repeat=True, pre_offset=cfg.offset_prop,
                     interpolate="pixelshuffle", window=cfg.dcn_window_hr,
-                    s2d=cfg.hr_s2d, anchor=cfg.dcn_anchor, anchor_vjp=cfg.dcn_anchor,
+                    s2d=cfg.hr_s2d, anchor=cfg.dcn_anchor, anchor_vjp=cfg.dcn_anchor_vjp,
                     pre_offset_s2d=2 if cfg.lv3_s2d else 1,
                 )
             else:
@@ -313,7 +321,7 @@ class CRFP(nn.Module):
 
         return flow_warp_maybe_windowed(hr_state, flow_lv0, self.cfg.dcn_window_hr,
                                         anchor=self.cfg.dcn_anchor,
-                                        anchor_vjp=self.cfg.dcn_anchor)
+                                        anchor_vjp=self.cfg.dcn_anchor_vjp)
 
     def _warp_hr_s2d(self, hr_state_s2d: jax.Array, flow_s2d: jax.Array) -> jax.Array:
         """HR-state warp with state AND flow in s2d(4) layout (the hr_s2d
@@ -323,7 +331,7 @@ class CRFP(nn.Module):
 
         return flow_warp_maybe_windowed_s2d(
             hr_state_s2d, flow_s2d, self.cfg.dcn_window_hr,
-            anchor=self.cfg.dcn_anchor, anchor_vjp=self.cfg.dcn_anchor)
+            anchor=self.cfg.dcn_anchor, anchor_vjp=self.cfg.dcn_anchor_vjp)
 
     def _reconstruct(self, y: jax.Array, x_hr: jax.Array, mk: jax.Array, lr: jax.Array):
         """Fovea texture blend + conv_last + bilinear-8x base residual."""

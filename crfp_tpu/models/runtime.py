@@ -443,3 +443,54 @@ class CRFPRuntimeSimple(nn.Module):
         lv3 = self.forward_resblocks_3(jnp.concatenate(parts3, axis=-1), full_lv3)
         lv3, out = self._finish(lv3, x_hr, lr)
         return {"hr": self._roi(lv3)}, out
+
+
+def runtime_params_from_batch(batch_params, init_params):
+    """Adapt a batch-trunk (models/crfp.py) checkpoint onto the runtime
+    models' parameter tree (a non-strict merge, like the reference's
+    checkpoint load, /root/reference/trainer.py:193-199 — but with the
+    renames resolved instead of dropped).
+
+    The runtime trunk splits each of the batch trunk's four
+    ``forward_resblocks_i`` into a cold-start copy (``..._i_`` — its
+    input conv has a smaller arity, so only its residual blocks can take
+    the trained weights; the input conv keeps its init, and it only runs
+    on frame 0) and a steady-state ROI-stitching V2 block whose two input
+    convs (ROI conv1, full-frame conv2) both take the batch block's
+    single trained ``input_conv``. Everything else maps name-for-name.
+    ``init_params``: the runtime model's init tree (supplies the
+    runtime-only leaves). Returns (params, n_unmapped).
+    tests/test_runtime_model.py pins exact coverage."""
+    import re
+
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(batch_params, sep="/")
+    mapped = {}
+    rb_input = re.compile(r"^(params/forward_resblocks_)(\d)(/)input_conv(/.*)$")
+    rb_any = re.compile(r"^(params/forward_resblocks_)(\d)(/.*)$")
+    for k, v in flat.items():
+        m = rb_input.match(k)
+        if m:
+            pre, i, _, rest = m.groups()
+            mapped[f"{pre}{i}/conv1{rest}"] = v
+            mapped[f"{pre}{i}/conv2{rest}"] = v
+            mapped[f"{pre}{i}_/input_conv{rest}"] = v
+            continue
+        m = rb_any.match(k)
+        if m:
+            pre, i, rest = m.groups()
+            mapped[k] = v
+            mapped[f"{pre}{i}_{rest}"] = v
+            continue
+        mapped[k] = v
+
+    out = dict(flax.traverse_util.flatten_dict(init_params, sep="/"))
+    n_unmapped = 0
+    for k in out:
+        v = mapped.get(k)
+        if v is not None and tuple(v.shape) == tuple(out[k].shape):
+            out[k] = v
+        else:
+            n_unmapped += 1
+    return flax.traverse_util.unflatten_dict(out, sep="/"), n_unmapped

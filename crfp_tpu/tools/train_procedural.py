@@ -1,21 +1,22 @@
-"""Train a small CRFP for real on procedural clips (VERDICT round-2 task 4).
+"""Train a CRFP for real on procedural clips (VERDICT round-2 task 4).
 
 The container has no REDS/Vimeo data and no reference checkpoints, so the
-trained-weights quality gates (windowed-clamp cost under a LEARNED flow
-net, GOLDEN configs 3-5) use a model trained here on procedurally
-generated translating textures: Gaussian-filtered noise fields plus
-moving high-contrast ridges, per-clip random velocity/direction spanning
-the windowed-DCN displacement budget. The recipe mirrors the reference
-trainer (Charbonnier loss eps 1e-12, two-group Adam with the flow-net
-group at lr/8, cosine schedule, flow freeze then unfreeze —
-/root/reference/trainer.py:120-229) scaled down to this host.
+trained-weights gates (windowed-clamp cost under a LEARNED flow net, the
+deploy gate, the round-5 capability ablation) use models trained here on
+the procedural STRUCTURED corpus (crfp_tpu/data/procedural.py: dead
+leaves, text glyphs, gratings, layered independent motion — content an 8x
+foveated VSR model can recover, unlike the round-2..4 noise+ridge clips).
+The recipe mirrors the reference trainer (Charbonnier loss eps 1e-12,
+two-group Adam with the flow-net group at lr/8, cosine schedule, flow
+freeze then unfreeze — /root/reference/trainer.py:120-229) scaled down to
+this host.
 
-Run (TPU, ~20 min at the defaults):
-    python -m crfp_tpu.tools.train_procedural --iters 2000 \
-        --save checkpoints/v18_mid16_procedural.npz
+Run (TPU, ~45 min at the defaults):
+    python -m crfp_tpu.tools.train_procedural --iters 8000 --mid 32 \
+        --save checkpoints/v18_mid32_struct.npz
 
-The persistent XLA compile cache (task 5) is enabled by default at
-.jax_cache/ so re-runs and bigger rungs skip recompilation.
+The persistent XLA compile cache is enabled by default at .jax_cache/ so
+re-runs and bigger rungs skip recompilation.
 """
 
 from __future__ import annotations
@@ -27,36 +28,7 @@ import time
 
 import numpy as np
 
-
-def make_clip_pool(n_clips: int, t: int, gt: int, seed: int, scale: int = 8):
-    """Pre-generate procedural HR clips: filtered-noise texture + ridge
-    patterns, translated by a per-clip constant velocity (|v| up to
-    ~3 LR px/frame, i.e. up to the D=8 trunk window at 2x)."""
-    from scipy import ndimage
-
-    rng = np.random.default_rng(seed)
-    clips = []
-    pad = t * 3 * scale
-    for i in range(n_clips):
-        big = rng.uniform(0, 1, (gt + pad, gt + pad, 3))
-        sigma = float(rng.uniform(1.5, 4.0))
-        big = ndimage.gaussian_filter(big, (sigma, sigma, 0))
-        # high-contrast ridges so flow/alignment has structure to latch on
-        yy, xx = np.mgrid[0 : gt + pad, 0 : gt + pad]
-        ang = float(rng.uniform(0, np.pi))
-        wave = 0.25 * np.sin((np.cos(ang) * yy + np.sin(ang) * xx) / rng.uniform(6, 24))
-        big = big + wave[..., None]
-        big = (big - big.min()) / (big.max() - big.min() + 1e-9)
-        v = rng.uniform(-3.0, 3.0, 2) * scale  # HR px/frame
-        frames = []
-        for k in range(t):
-            y0 = int(round(pad / 2 + k * v[0]))
-            x0 = int(round(pad / 2 + k * v[1]))
-            y0 = np.clip(y0, 0, pad)
-            x0 = np.clip(x0, 0, pad)
-            frames.append(big[y0 : y0 + gt, x0 : x0 + gt])
-        clips.append(np.stack(frames).astype(np.float32))
-    return clips
+from crfp_tpu.data.procedural import make_clip_pool  # noqa: F401  (corpus)
 
 
 def make_batch(clips, b: int, t: int, gt: int, rng, scale: int = 8):
@@ -78,19 +50,15 @@ def make_batch(clips, b: int, t: int, gt: int, rng, scale: int = 8):
 
 
 def save_params(params, path: str) -> None:
-    import flax
-    import jax
+    from crfp_tpu.utils.params_io import save_params_npz
 
-    flat = flax.traverse_util.flatten_dict(params, sep="/")
-    np.savez_compressed(path, **{k: np.asarray(jax.device_get(v)) for k, v in flat.items()})
+    save_params_npz(params, path)
 
 
 def load_params(path: str):
-    import flax
+    from crfp_tpu.utils.params_io import load_params as _load
 
-    with np.load(path) as z:
-        flat = {k: z[k] for k in z.files}
-    return flax.traverse_util.unflatten_dict(flat, sep="/")
+    return _load(path)
 
 
 def main() -> None:
@@ -139,9 +107,14 @@ def main() -> None:
     from crfp_tpu.models import CRFP, ModelConfig
     from crfp_tpu.train import TrainConfig, create_train_state, make_train_step
 
-    cfg = ModelConfig(variant=args.variant, mid_channels=args.mid,
+    # the ablation variants only support the reference's hr_dcn=False path
+    # (models/crfp.py setup); their PlainAlign/2x-only stages ignore the
+    # window knobs
+    hr_dcn = args.variant not in ("no_dcn", "basic_fvsr")
+    cfg = ModelConfig(variant=args.variant, mid_channels=args.mid, hr_dcn=hr_dcn,
                       dcn_window=args.dcn_window, dcn_window_hr=args.dcn_window_hr,
-                      dcn_anchor=args.dcn_anchor, remat=True)
+                      dcn_anchor=args.dcn_anchor, dcn_anchor_vjp=args.dcn_anchor,
+                      remat=True)
     model = CRFP(cfg)
     tcfg = TrainConfig(lr_rate=args.lr, flow_freeze_iters=args.flow_freeze,
                        periods=(max(args.iters, 1),), amp=args.amp)
@@ -155,10 +128,22 @@ def main() -> None:
     state = create_train_state(model, jax.random.PRNGKey(args.seed),
                                {k: v[:1] for k, v in batch.items()}, tcfg)
     if args.resume:
+        import flax
+
         loaded = jax.tree.map(jnp.asarray, load_params(args.resume))
-        chex_shapes = jax.tree.map(lambda a, b: a.shape == b.shape,
-                                   loaded, state.params)
-        assert all(jax.tree.leaves(chex_shapes)), "resume param shape mismatch"
+        got = {k: v.shape for k, v in
+               flax.traverse_util.flatten_dict(loaded, sep="/").items()}
+        want = {k: v.shape for k, v in
+                flax.traverse_util.flatten_dict(state.params, sep="/").items()}
+        if got.keys() != want.keys():
+            miss = sorted(want.keys() - got.keys())[:5]
+            extra = sorted(got.keys() - want.keys())[:5]
+            raise ValueError(
+                f"--resume checkpoint does not match --variant/--mid: "
+                f"missing keys {miss}, unexpected keys {extra}")
+        bad = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+        if bad:
+            raise ValueError(f"--resume param shape mismatch: {bad}")
         state = state.replace(params=loaded)
         print(f"resumed params from {args.resume}", flush=True)
     train_step = make_train_step(model, tcfg)

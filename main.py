@@ -26,21 +26,13 @@ from crfp_tpu.utils import MetricsWriter, mk_exp_dir
 
 
 def _load_params(model, path: str, sample_batch):
-    """Load model params from a torch .pt (converted) or an orbax dir."""
-    if path.endswith(".pt") or path.endswith(".pth"):
-        from crfp_tpu.tools.convert_torch import load_torch_checkpoint
-
-        return load_torch_checkpoint(path)
-    import orbax.checkpoint as ocp
+    """Load model params from any supported format: flat .npz
+    (train_procedural artifacts), torch .pt/.pth (converted), or an orbax
+    checkpoint dir (crfp_tpu/utils/params_io.py)."""
+    from crfp_tpu.utils.params_io import load_params
 
     del model, sample_batch  # structure comes from the checkpoint itself
-    path = os.path.abspath(path)
-    # CheckpointManager steps nest the pytree under <step>/default
-    if os.path.isdir(os.path.join(path, "default")):
-        path = os.path.join(path, "default")
-    raw = ocp.StandardCheckpointer().restore(path)
-    # CheckpointManager payloads are {params: <flax variables>, opt_state, step}
-    return raw["params"]
+    return load_params(path)
 
 
 def _sample_from_batch(batch):

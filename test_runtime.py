@@ -29,6 +29,10 @@ def main():
     p.add_argument("--fused", action="store_true",
                    help="one jitted flow+enc+step program per frame, one sync "
                         "per rep chain (deployment number)")
+    p.add_argument("--model_path", default=None,
+                   help="run with trained weights (.npz/.pt/orbax; the "
+                        "batch-trunk checkpoint is adapted onto the runtime "
+                        "trunk) instead of random init")
     args = p.parse_args()
 
     if args.cpu:
@@ -53,6 +57,7 @@ def main():
         dcn_anchor=args.dcn_anchor,
         emit_s2d=args.emit_s2d,
         fused=args.fused,
+        params_path=args.model_path,
     )
     print(res)
 

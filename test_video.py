@@ -19,6 +19,13 @@ def parse_args(argv=None):
     p.add_argument("--dataset_dir", type=str, default="/DATA/REDS_sharp")
     p.add_argument("--video_set", type=str, default="train")
     p.add_argument("--video_num", type=str, default="0,11,15,20")
+    p.add_argument("--procedural", action="store_true",
+                   help="stream generated structured-content clips "
+                        "(crfp_tpu/data/procedural.py) instead of REDS "
+                        "frames on disk — the in-container demo path; "
+                        "--video_num indexes held-out seeds")
+    p.add_argument("--procedural_hw", type=int, nargs=2, default=(512, 512),
+                   help="HR frame size of the generated clips")
     p.add_argument("--model_path", type=str, default=None)
     p.add_argument("--variant", type=str, default="v15",
                    choices=["v13", "v15", "v18", "v18_cra", "no_dcn", "basic_fvsr"])
@@ -93,30 +100,45 @@ def main(argv=None):
     use_fg = args.regional_dcn
 
     for v in (int(x) for x in args.video_num.split(",")):
-        gt_dir = os.path.join(
-            args.dataset_dir, f"{args.video_set}/{args.video_set}/{args.video_set}_sharp",
-            f"{v:03d}",
-        )
-        lr_dir = gt_dir.replace("_sharp", "_sharp_BI_x8").replace(
-            args.dataset_dir, args.dataset_dir.replace("_sharp", "_sharp_BI_x8"), 1
-        )
-        lr_root = args.dataset_dir.replace("_sharp", "_sharp_BI_x8")
-        lr_dir = os.path.join(
-            lr_root, f"{args.video_set}/{args.video_set}/{args.video_set}_sharp", f"{v:03d}"
-        )
-        print(f"clip {v:03d}: {gt_dir}")
-        gts, lrs, lrsrs = load_clip(gt_dir, lr_dir, args.n_frames)
+        if args.procedural:
+            from crfp_tpu.data.procedural import lr_box, make_clip
+            from crfp_tpu.data.reds import _bicubic_upsample
+
+            gh, gw = args.procedural_hw
+            assert gh == gw, "make_clip generates square frames"
+            clip_rng = np.random.default_rng(5000 + v)  # held out from training
+            gts = make_clip(clip_rng, args.n_frames, gh)
+            lrs = lr_box(gts).astype(np.float32)
+            lrsrs = (
+                _bicubic_upsample(
+                    (lrs * 255).round().astype(np.uint8), gh, gw
+                ).astype(np.float32) / 255.0
+            )
+            print(f"clip {v:03d}: procedural seed {5000 + v} ({gh}x{gw})")
+        else:
+            gt_dir = os.path.join(
+                args.dataset_dir,
+                f"{args.video_set}/{args.video_set}/{args.video_set}_sharp",
+                f"{v:03d}",
+            )
+            lr_root = args.dataset_dir.replace("_sharp", "_sharp_BI_x8")
+            lr_dir = os.path.join(
+                lr_root, f"{args.video_set}/{args.video_set}/{args.video_set}_sharp",
+                f"{v:03d}",
+            )
+            print(f"clip {v:03d}: {gt_dir}")
+            gts, lrs, lrsrs = load_clip(gt_dir, lr_dir, args.n_frames)
         n, h, w, _ = gts.shape
 
         if params is None:
-            lr0 = jnp.asarray(lrs[:1])
-            fv0 = jnp.zeros((1, h, w, 3), jnp.float32)
-            mk0 = jnp.zeros((1, h, w, 1), jnp.float32)
             if args.model_path:
-                from crfp_tpu.tools.convert_torch import load_torch_checkpoint
+                from crfp_tpu.utils.params_io import load_params
 
-                params = load_torch_checkpoint(args.model_path)
+                params = load_params(args.model_path)
             else:
+                lr0 = jnp.asarray(lrs[:1])
+                fv0 = jnp.zeros((1, h, w, 3), jnp.float32)
+                mk0 = jnp.zeros((1, h, w, 1), jnp.float32)
                 params = jax.jit(
                     lambda k: model.init(k, lr0[:, None], fv0[:, None], mk0[:, None])
                 )(jax.random.PRNGKey(0))

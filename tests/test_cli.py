@@ -78,3 +78,64 @@ def test_mk_exp_dir_refuses_overwrite(tmp_path):
     mk_exp_dir(args)
     with pytest.raises(SystemExit, match="already exists"):
         mk_exp_dir(args)
+
+
+@pytest.mark.slow
+def test_main_procedural_train_and_npz_eval(tmp_path):
+    """--dataset procedural end-to-end (no REDS in the container) and the
+    shared checkpoint loader: an .npz artifact (train_procedural's format)
+    drives main.py's eval-every-checkpoint unmodified (VERDICT r4 task 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    import main as cli
+    from crfp_tpu.config import model_config, parse_args
+    from crfp_tpu.models import CRFP
+    from crfp_tpu.utils import mk_exp_dir
+    from crfp_tpu.utils.params_io import save_params_npz
+
+    tmp = str(tmp_path)
+    argv = [
+        "--save_dir", os.path.join(tmp, "exp"),
+        "--reset", "true",
+        "--dataset", "procedural",
+        "--procedural_clips", "2",
+        "--variant", "v18",
+        "--mid_channels", "16",
+        "--scale", "8",
+        "--GT_size", "64",
+        "--FV_size", "16",
+        "--N_frames", "2",
+        "--batch_size", "2",
+        "--num_workers", "2",
+        "--num_gpu", "1",
+        "--flow_freeze_iters", "0",
+        "--print_every", "1",
+        "--save_every", "1",
+        "--num_epochs", "1",
+        "--val_every", "999999",
+    ]
+    args = parse_args(argv)
+    logger = mk_exp_dir(args)
+    cli.train(args, logger)
+    model_dir = os.path.join(tmp, "exp", "model")
+    assert [d for d in os.listdir(model_dir) if d.isdigit()]
+
+    # mint an .npz the way train_procedural does and eval a DIRECTORY of them
+    model = CRFP(model_config(args))
+    lr = jnp.zeros((1, 2, 8, 8, 3))
+    fv = jnp.zeros((1, 2, 64, 64, 3))
+    mk = jnp.zeros((1, 2, 64, 64, 1))
+    params = model.init(jax.random.PRNGKey(0), lr, fv, mk)
+    ckpt_dir = os.path.join(tmp, "ckpts")
+    os.makedirs(ckpt_dir)
+    save_params_npz(params, os.path.join(ckpt_dir, "m.npz"))
+
+    args2 = parse_args(
+        argv + ["--eval", "true", "--model_path", ckpt_dir,
+                "--save_dir", os.path.join(tmp, "exp_eval")]
+    )
+    logger2 = mk_exp_dir(args2)
+    cli.evaluate(args2, logger2)
+    log_text = open(os.path.join(tmp, "exp_eval", "MRCF.log")).read()
+    assert "PSNR (max)" in log_text

@@ -215,3 +215,62 @@ def test_runtime_emit_s2d_equivalence():
         np.testing.assert_allclose(
             np.asarray(emit_frame_nhwc(got)), np.asarray(want),
             atol=1e-6, rtol=1e-6)
+
+
+def test_runtime_params_from_batch_covers_runtime_tree():
+    """The batch->runtime adapter must produce exactly the runtime trunk's
+    parameter tree (key for key, shape for shape), so a train_procedural
+    checkpoint drives test_runtime.py unmodified (VERDICT r4 task 2)."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from crfp_tpu.models.crfp import CRFP
+    from crfp_tpu.models.runtime import runtime_params_from_batch
+
+    cfg = ModelConfig(variant="v18", mid_channels=16)
+    batch = CRFP(cfg)
+    lr = jnp.zeros((1, 2, 16, 32, 3))
+    fv = jnp.zeros((1, 2, 128, 256, 3))
+    mk = jnp.zeros((1, 2, 128, 256, 1))
+    bp = jax.eval_shape(batch.init, jax.random.PRNGKey(0), lr, fv, mk)
+
+    model = CRFPRuntimeV18(cfg, warp_size=(64, 64))
+    lr1 = jnp.zeros((1, 16, 32, 3))
+    fv1 = jnp.zeros((1, 96, 96, 3))
+
+    def full(mdl):
+        x_lr, x_hr = mdl.encode(lr1, fv1)
+        state, _ = mdl.step0(lr1, x_lr, x_hr)
+        mdl.step(state, lr1, lr1, x_lr, x_hr)
+
+    rp = jax.eval_shape(lambda k: model.init(k, method=full), jax.random.PRNGKey(0))
+    want = {
+        k: v.shape for k, v in flax.traverse_util.flatten_dict(rp, sep="/").items()
+    }
+
+    init_zero = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), rp)
+    adapted, n_unmapped = runtime_params_from_batch(bp, init_zero)
+    got = {
+        k: v.shape
+        for k, v in flax.traverse_util.flatten_dict(adapted, sep="/").items()
+    }
+    assert got == want
+    # the only runtime leaves a batch checkpoint cannot supply: the four
+    # cold-start input-conv kernels (smaller input arity; frame-0 only)
+    # and stage 3's full-frame conv2 kernel (the full_lv3 background path
+    # has a different arity than the 3-way ROI concat) — the reference's
+    # non-strict merge leaves the same things untrained
+    flat = flax.traverse_util.flatten_dict(adapted, sep="/")
+    unmapped = sorted(
+        k for k, v in flat.items()
+        if not isinstance(v, jax.ShapeDtypeStruct) and np.all(np.asarray(v) == 0)
+    )
+    assert n_unmapped == 5, (n_unmapped, unmapped)
+    assert unmapped == [
+        "params/forward_resblocks_0_/input_conv/conv/kernel",
+        "params/forward_resblocks_1_/input_conv/conv/kernel",
+        "params/forward_resblocks_2_/input_conv/conv/kernel",
+        "params/forward_resblocks_3/conv2/conv/kernel",
+        "params/forward_resblocks_3_/input_conv/conv/kernel",
+    ], unmapped

@@ -93,7 +93,8 @@ def test_train_step_with_anchored_windows():
     # TPU; plain-window clamp on this CPU backend) — the round-3
     # inference-only assert is gone and gradients flow finitely
     model = CRFP(ModelConfig(variant="v18", mid_channels=16, dcn_window=8,
-                             dcn_window_hr=32, hr_s2d=True, dcn_anchor=True))
+                             dcn_window_hr=32, hr_s2d=True, dcn_anchor=True,
+                             dcn_anchor_vjp=True))
     batch = _tiny_batch(b=2)
     cfg = TrainConfig(flow_freeze_iters=1)
     state = create_train_state(model, jax.random.PRNGKey(0), batch, cfg)
