@@ -129,6 +129,9 @@ def main():
     p.add_argument("--frames", type=int, default=10)
     p.add_argument("--preset", default="1080p")
     p.add_argument("--warp", type=int, default=720)
+    p.add_argument("--warp_w", type=int, default=None,
+                   help="warp width when the ROI is not square "
+                        "(full-frame 1080p: --warp 1080 --warp_w 1920)")
     p.add_argument("--mid", type=int, default=32)
     p.add_argument("--dcn_window", type=int, default=8)
     p.add_argument("--dcn_window_hr", type=int, default=32)
@@ -142,7 +145,7 @@ def main():
         frames=args.frames,
         logdir=args.logdir,
         preset=args.preset,
-        warp_size=(args.warp, args.warp),
+        warp_size=(args.warp, args.warp_w or args.warp),
         mid_channels=args.mid,
         dcn_window=args.dcn_window,
         dcn_window_hr=args.dcn_window_hr,
