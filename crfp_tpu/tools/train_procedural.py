@@ -120,9 +120,20 @@ def main() -> None:
                        periods=(max(args.iters, 1),), amp=args.amp)
 
     rng = np.random.default_rng(args.seed)
-    print(f"generating {args.pool} procedural clips (t={args.t}, GT={args.gt})...",
-          flush=True)
-    clips = make_clip_pool(args.pool, args.t, args.gt, args.seed)
+    # corpus disk cache: clip generation is ~10 min of single-core host
+    # time and every run in an ablation chain uses the identical pool
+    cache_npz = os.path.join(
+        "runs", f"pool_{args.pool}x{args.t}x{args.gt}_s{args.seed}.npz")
+    if os.path.exists(cache_npz):
+        print(f"loading clip pool from {cache_npz}...", flush=True)
+        with np.load(cache_npz) as z:
+            clips = [z[k] for k in z.files]
+    else:
+        print(f"generating {args.pool} procedural clips (t={args.t}, GT={args.gt})...",
+              flush=True)
+        clips = make_clip_pool(args.pool, args.t, args.gt, args.seed)
+        os.makedirs(os.path.dirname(cache_npz) or ".", exist_ok=True)
+        np.savez(cache_npz, *clips)
     batch = make_batch(clips, args.b, args.t, args.gt, rng)
 
     state = create_train_state(model, jax.random.PRNGKey(args.seed),
