@@ -141,6 +141,23 @@ def convert_state_dict(state_dict: dict[str, Any], strict: bool = True) -> dict:
                 else:
                     path = ["spynet"] + _map_fnet(rest)
                 is_w = parts[-1] == "weight"
+            elif top.startswith("dcn_") and top[-4:-1] == "_lv" and top[-1].isdigit():
+                # gen-1 pyramid flat naming (CRFP_runtime.py:1570-1627):
+                # dcn_pre_lvK / dcn_block_lvK.{1,3} / dcn_offset_lvK /
+                # dcn_mask_lvK / dcn_lvK -> params under align_lvK
+                lv = top[-1]
+                kind = {"weight": "kernel", "bias": "bias"}[parts[-1]]
+                is_w = parts[-1] == "weight"
+                if top.startswith("dcn_block_lv"):
+                    # Sequential(lrelu, conv, lrelu, conv, lrelu): 1->conv1, 3->conv2
+                    path = [f"align_lv{lv}",
+                            f"{top}_conv{(int(rest[0]) - 1) // 2 + 1}", "conv", kind]
+                elif top.startswith(("dcn_pre_lv", "dcn_offset_lv", "dcn_mask_lv")):
+                    path = [f"align_lv{lv}", top, "conv", kind]
+                else:  # dcn_lvK: the DCNv2 weight/bias params
+                    assert top == f"dcn_lv{lv}", key
+                    path = [f"align_lv{lv}",
+                            f"dcn_weight_lv{lv}" if is_w else f"dcn_bias_lv{lv}"]
             elif top.startswith("dcn_"):
                 mapped = _map_dcn(rest)
                 if mapped is None:
@@ -154,7 +171,12 @@ def convert_state_dict(state_dict: dict[str, Any], strict: bool = True) -> dict:
                 # runtime stitching blocks (no trailing underscore, _v2
                 # naming) keep conv1/conv2; cold-start blocks' dead conv2
                 # is skipped (CRFP_runtime.py:481 — params exist unused)
-                stitching = not top.endswith("_") and rest[0] in ("conv1", "conv2")
+                # the gen-1 pyramid's blocks (forward_resblocks_lv{k}) are
+                # the runtime-file class whose conv2 is DEAD (the in//3
+                # latent bug, CRFP_runtime.py:481) — non-stitching mapping
+                pyramid = top[-4:-1] == "_lv" and top[-1].isdigit()
+                stitching = (not top.endswith("_") and not pyramid
+                             and rest[0] in ("conv1", "conv2"))
                 mapped = _map_resblocks(rest, stitching=stitching)
                 if mapped is None:
                     continue
@@ -164,11 +186,13 @@ def convert_state_dict(state_dict: dict[str, Any], strict: bool = True) -> dict:
                 path = [top, "downsample_conv", "conv",
                         {"weight": "kernel", "bias": "bias"}[parts[-1]]]
                 is_w = parts[-1] == "weight"
-            elif top in ("upsample", "upsample_post"):
+            elif top in ("upsample", "upsample_post") or (
+                    top.startswith("upsample") and top[-1].isdigit()):
+                # upsample0/1/2: the gen-1 pyramid's per-level 2x packs
                 path = [top, "upsample_conv", "conv",
                         {"weight": "kernel", "bias": "bias"}[parts[-1]]]
                 is_w = parts[-1] == "weight"
-            elif top in ("conv_tttf", "conv_last") or top.startswith("conv_tttf"):
+            elif top.startswith(("conv_tttf", "conv_last", "conv_hr")):
                 path = [top, "conv", {"weight": "kernel", "bias": "bias"}[parts[-1]]]
                 is_w = parts[-1] == "weight"
             else:
