@@ -1,4 +1,5 @@
 from crfp_tpu.models.crfp import CRFP, ModelConfig
+from crfp_tpu.models.pyramid import CRFPPyramidX8
 from crfp_tpu.models.runtime import CRFPRuntimeSimple, CRFPRuntimeV18
 from crfp_tpu.models.streaming import StreamingRunner
 
@@ -6,6 +7,7 @@ __all__ = [
     "CRFP",
     "ModelConfig",
     "StreamingRunner",
+    "CRFPPyramidX8",
     "CRFPRuntimeSimple",
     "CRFPRuntimeV18",
 ]
