@@ -61,15 +61,25 @@ def _bicubic8(lr: np.ndarray, hh: int, hw: int) -> np.ndarray:
 
 
 def _model_runner(name: str, ckpt: str, mid: int):
-    import jax.numpy as jnp  # noqa: F401  (imported for device selection)
+    import jax.numpy as jnp
 
     from crfp_tpu.models.crfp import CRFP, ModelConfig
     from crfp_tpu.models.streaming import StreamingRunner
     from crfp_tpu.utils.params_io import load_params
+    from crfp_tpu.utils.precision import cast_pytree
 
     if name == "v18":
+        # The full deployment configuration (= bench.py _DEPLOY and the
+        # deploy gate): bf16 + windowed Pallas + hr_s2d (bit-exact,
+        # tests/test_models.py::test_hr_s2d_bit_equivalence_v18) +
+        # dcn_anchor — the whole bundle's quality cost is gated at
+        # 0.025 dB worst per-zone (docs/DEPLOY.md). bf16 is also what
+        # makes 768^2 compile on-chip: the f32 shared-tap dcn_3 resolves
+        # band=8 (nn/align.py:59), whose 4x-denser cell grid pushes the
+        # scalar-prefetch starts table past the 1 MB SMEM.
         cfg = ModelConfig(variant="v18", mid_channels=mid,
-                          dcn_window=8, dcn_window_hr=32)
+                          dcn_window=8, dcn_window_hr=32, hr_s2d=True,
+                          dcn_anchor=True)
     elif name == "no_dcn":
         cfg = ModelConfig(variant="no_dcn", mid_channels=mid, hr_dcn=False)
     elif name == "basic_fvsr":
@@ -77,7 +87,18 @@ def _model_runner(name: str, ckpt: str, mid: int):
                           dcn_window=8)
     else:
         raise ValueError(name)
-    return StreamingRunner(CRFP(cfg), load_params(ckpt), donate=False)
+    # every trained row runs the deployment precision (bf16 params +
+    # inputs, f32 metrics) so the ablation compares models, not dtypes
+    params = cast_pytree(load_params(ckpt), jnp.bfloat16)
+    runner = StreamingRunner(CRFP(cfg), params, donate=False)
+
+    def run(lr, fv, mk):
+        out = runner(lr.astype(jnp.bfloat16), fv.astype(jnp.bfloat16),
+                     mk.astype(jnp.bfloat16))
+        return out.astype(jnp.float32)
+
+    run.clear_states = runner.clear_states
+    return run
 
 
 def run_capability(
